@@ -1,0 +1,72 @@
+"""Document-level entity graph + BFS shortest-path evidence.
+
+This is the applyInPandas spine bound by the north star: the per-document
+graph (adjacency lists) is built INSIDE the UDF from that document's mention
+rows and never exists as a distributed structure — one document's graph
+always fits in one grouped-map invocation (docs are capped at
+MAX_MENTIONS_PER_DOC mentions upstream, deterministically).
+
+Cogrouped grouped-map: mentions and sentence rows are cogrouped by url, so
+the graph stage consumes exactly one shuffle by url and emits evidence rows.
+At scale the url grouping key is high-cardinality and uniform (one group per
+document) — no skew; AQE coalesces the small post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .kernels import MAX_PATH_LEN, bfs_evidence
+
+EVIDENCE_SCHEMA = (
+    "url string, pivot_mid int, other_mid int, slot string, "
+    "path_len int, path array<int>"
+)
+
+
+def doc_graph_evidence(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+) -> DataFrame:
+    """mentions (MENTIONS_SCHEMA) x sentences (SENTENCES_SCHEMA) cogrouped by
+    url -> evidence rows (EVIDENCE_SCHEMA) for candidate (pivot, arg) pairs
+    with BFS shortest path <= max_path_len edges."""
+
+    def per_doc(key: tuple, m_pdf: pd.DataFrame, s_pdf: pd.DataFrame) -> pd.DataFrame:
+        url = key[0]
+        cols = ["url", "pivot_mid", "other_mid", "slot", "path_len", "path"]
+        if m_pdf.empty:
+            rows: list[dict] = []
+        else:
+            n_sents = int(s_pdf["sent_id"].max()) + 1 if not s_pdf.empty else (
+                int(m_pdf["sent_id"].max()) + 1
+            )
+            ms = [
+                {"mention_id": int(r.mention_id), "ent_type": r.ent_type, "sent_id": int(r.sent_id)}
+                for r in m_pdf.itertuples()
+            ]
+            ms.sort(key=lambda m: m["mention_id"])
+            rows = bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len)
+        return pd.DataFrame(
+            {
+                "url": pd.Series([url] * len(rows), dtype=object),
+                "pivot_mid": pd.Series([r["pivot_mid"] for r in rows], dtype="int32"),
+                "other_mid": pd.Series([r["other_mid"] for r in rows], dtype="int32"),
+                "slot": pd.Series([r["slot"] for r in rows], dtype=object),
+                "path_len": pd.Series([r["path_len"] for r in rows], dtype="int32"),
+                # dtype=object so Arrow sees Python lists, not a numpy block
+                "path": pd.Series([r["path"] for r in rows], dtype=object),
+            },
+            columns=cols,
+        )
+
+    return (
+        mentions.select("url", "mention_id", "ent_type", "sent_id")
+        .groupBy("url")
+        .cogroup(sentences.select("url", "sent_id").groupBy("url"))
+        .applyInPandas(per_doc, schema=EVIDENCE_SCHEMA)
+    )

@@ -1,0 +1,217 @@
+"""Pure-Python per-document kernels (NO pyspark imports here).
+
+These run inside Arrow-vectorized UDF bodies (mapInPandas / applyInPandas),
+batch-at-a-time; they are also imported by fixtures/corpus.py to compute the
+golden outputs, so pipeline and goldens share one spec by construction.
+
+Reference parity note: /root/reference was empty this session (SURVEY.md §0);
+the binding spec is BASELINE.json's north star — per-document entity-mention
+detection, document-level entity graph with adjacency lists built in-UDF, and
+BFS shortest-path evidence replacing networkx. The graph model below:
+
+  nodes   0..S-1            = sentences (S = number of text lines)
+  nodes   S..S+M-1          = mentions (mention_id = rank in (begin,end) order)
+  edges   mention <-> its sentence;  sentence i <-> sentence i+1
+
+so two mentions in one sentence are 2 edges apart, in adjacent sentences 3,
+k sentences apart k+2. MAX_PATH_LEN=3 accepts same-sentence and
+adjacent-sentence evidence — the cross-sentence setting of the reference's
+n-ary task.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+from ..functions.textnorm import normalize_surface
+
+MAX_PATH_LEN = 3          # max BFS edges for an accepted evidence path
+MAX_MENTIONS_PER_DOC = 512  # pathological docs truncated deterministically
+MAX_GAZ_TOKENS = 4        # longest gazetteer surface, in normalized tokens
+
+_TOKEN_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Sentences == extractor output lines (extractor emits one line per
+    block element). Total + deterministic."""
+    return text.split("\n") if text else []
+
+
+def tokenize_with_offsets(line: str) -> list[tuple[str, int, int]]:
+    """Lowercased alnum token runs with [begin, end) char offsets into `line`.
+    Mirrors normalize_surface: a token is a maximal run of chars that are
+    alphanumeric after lowercasing."""
+    toks: list[tuple[str, int, int]] = []
+    lower = line.lower()
+    start = -1
+    for i, ch in enumerate(lower):
+        if ch in _TOKEN_CHARS:
+            if start < 0:
+                start = i
+        elif start >= 0:
+            toks.append((lower[start:i], start, i))
+            start = -1
+    if start >= 0:
+        toks.append((lower[start:], start, len(lower)))
+    return toks
+
+
+@dataclass(frozen=True)
+class GazetteerIndex:
+    """Token-sequence -> (ent_id, ent_type), longest-match-first.
+
+    entries: {(tok, tok, ...): (ent_id, ent_type)}
+    first_tok: {tok: max phrase length starting with tok} (scan pruning)
+    """
+
+    entries: dict[tuple[str, ...], tuple[str, str]]
+    first_tok: dict[str, int]
+
+    @staticmethod
+    def build(rows: list[tuple[str, str, str]]) -> "GazetteerIndex":
+        """rows: (surface_norm, ent_id, ent_type). Ties on identical surface
+        resolve to the lexicographically smallest (ent_id, ent_type) —
+        deterministic regardless of input order."""
+        entries: dict[tuple[str, ...], tuple[str, str]] = {}
+        first: dict[str, int] = {}
+        for surface_norm, ent_id, ent_type in sorted(rows):
+            key = tuple(surface_norm.split())
+            if not key or len(key) > MAX_GAZ_TOKENS:
+                continue
+            if key not in entries:  # sorted() => smallest (surface, ent_id) wins
+                entries[key] = (ent_id, ent_type)
+                first[key[0]] = max(first.get(key[0], 0), len(key))
+        return GazetteerIndex(entries, first)
+
+
+def detect_mentions_in_text(text: str, gaz: GazetteerIndex) -> list[dict]:
+    """Longest-match left-to-right gazetteer scan, no overlaps.
+
+    Returns mention dicts ordered by (begin, end) with ordinal mention_id:
+    {mention_id, ent_id, ent_type, surface, surface_norm, begin, end, sent_id}
+    Offsets are into the full document text ('\\n' counts one char).
+    """
+    out: list[dict] = []
+    offset = 0
+    for sent_id, line in enumerate(split_sentences(text)):
+        toks = tokenize_with_offsets(line)
+        i = 0
+        n = len(toks)
+        while i < n:
+            maxlen = gaz.first_tok.get(toks[i][0], 0)
+            matched = 0
+            for length in range(min(maxlen, n - i), 0, -1):
+                key = tuple(t[0] for t in toks[i : i + length])
+                hit = gaz.entries.get(key)
+                if hit is not None:
+                    begin = offset + toks[i][1]
+                    end = offset + toks[i + length - 1][2]
+                    out.append(
+                        {
+                            "ent_id": hit[0],
+                            "ent_type": hit[1],
+                            "surface": text[begin:end],
+                            "surface_norm": " ".join(key),
+                            "begin": begin,
+                            "end": end,
+                            "sent_id": sent_id,
+                        }
+                    )
+                    matched = length
+                    break
+            i += matched if matched else 1
+        offset += len(line) + 1  # the '\n'
+    out.sort(key=lambda m: (m["begin"], m["end"]))
+    del out[MAX_MENTIONS_PER_DOC:]
+    for mid, m in enumerate(out):
+        m["mention_id"] = mid
+    return out
+
+
+def sentence_predicates(text: str, pred_vocab: frozenset[str]) -> list[dict]:
+    """One row per sentence: {sent_id, n_tokens, pred} where pred is the
+    FIRST token of the sentence found in pred_vocab (None if absent)."""
+    rows = []
+    for sent_id, line in enumerate(split_sentences(text)):
+        toks = tokenize_with_offsets(line)
+        pred = next((t[0] for t in toks if t[0] in pred_vocab), None)
+        rows.append({"sent_id": sent_id, "n_tokens": len(toks), "pred": pred})
+    return rows
+
+
+def bfs_evidence(
+    n_sents: int,
+    mentions: list[dict],
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+) -> list[dict]:
+    """Per-document graph + BFS shortest-path evidence (replaces networkx).
+
+    mentions: dicts with mention_id, ent_type, sent_id (mention_id ordinal).
+    arg_slots: [(arg_ent_type, slot_label), ...] e.g. [('GENE','a'),('VARIANT','b')].
+    Returns rows {pivot_mid, other_mid, slot, path_len, path} for candidate
+    (pivot-typed mention, slot-typed mention) pairs whose shortest path has
+    <= max_path_len edges. path = node-id list, sentence nodes 0..S-1,
+    mention m -> node S + mention_id.
+    """
+    S = n_sents
+    adj: list[list[int]] = [[] for _ in range(S + len(mentions))]
+    for i in range(S - 1):  # sentence chain
+        adj[i].append(i + 1)
+        adj[i + 1].append(i)
+    for m in mentions:
+        node = S + m["mention_id"]
+        sent = m["sent_id"]
+        if 0 <= sent < S:
+            adj[node].append(sent)
+            adj[sent].append(node)
+    for lst in adj:
+        lst.sort()  # deterministic BFS neighbor order
+
+    slot_by_type = dict(arg_slots)
+    pivots = [m for m in mentions if m["ent_type"] == pivot_type]
+    targets = [m for m in mentions if m["ent_type"] in slot_by_type]
+    if not pivots or not targets:
+        return []
+
+    out: list[dict] = []
+    for pm in pivots:
+        src = S + pm["mention_id"]
+        # Bounded BFS from the pivot mention; parents give the path.
+        dist = {src: 0}
+        parent: dict[int, int] = {}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_path_len:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    parent[v] = u
+                    q.append(v)
+        for tm in targets:
+            if tm["mention_id"] == pm["mention_id"]:
+                continue
+            dst = S + tm["mention_id"]
+            d = dist.get(dst)
+            if d is None or d > max_path_len:
+                continue
+            path = [dst]
+            while path[-1] != src:
+                path.append(parent[path[-1]])
+            path.reverse()
+            out.append(
+                {
+                    "pivot_mid": pm["mention_id"],
+                    "other_mid": tm["mention_id"],
+                    "slot": slot_by_type[tm["ent_type"]],
+                    "path_len": d,
+                    "path": path,
+                }
+            )
+    out.sort(key=lambda r: (r["pivot_mid"], r["other_mid"]))
+    return out

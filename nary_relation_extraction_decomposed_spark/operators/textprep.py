@@ -1,0 +1,70 @@
+"""Page preparation: language filter, latest-per-url dedup, text resolution.
+
+Scale notes:
+- filter_pages runs BEFORE any UDF so Catalyst pushes lang/null predicates
+  into the parquet/Iceberg scan (UDFs are pushdown barriers).
+- dedup is an explicit row_number over (url) — dropDuplicates picks an
+  arbitrary row per key and would break run-to-run determinism.
+- resolve_text is the only stage that touches the (huge, binary) html column;
+  its output drops html immediately so every downstream shuffle moves text
+  only (column pruning at the source reads html just for this stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..extract.html import extract_text
+
+RESOLVED_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def filter_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
+    """Keep rows in `lang` that can yield text (text or html present)."""
+    return pages.filter(
+        (F.col("lang") == lang)
+        & (F.col("text").isNotNull() | F.col("html").isNotNull())
+    )
+
+
+def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
+    """Exactly one row per url: latest warc_ts, ties broken by html length
+    then text — fully deterministic (never dropDuplicates)."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(),
+        F.length(F.col("html")).desc_nulls_last(),
+        F.col("text").desc_nulls_last(),
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def resolve_text(pages: DataFrame) -> DataFrame:
+    """(url, warc_ts, html, text, ...) -> (url, warc_ts, text) where text =
+    provided text if non-null else the frozen extractor over html.
+
+    mapInPandas (Arrow batches) — the extraction kernel is the byte-identity
+    invariant holder, so it must be the in-repo frozen Python; batches keep
+    the JVM<->Python crossing amortized and html never leaves this stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            texts = [
+                t if isinstance(t, str) and t is not None else extract_text(h)
+                for t, h in zip(pdf["text"], pdf["html"])
+            ]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "warc_ts": pdf["warc_ts"], "text": texts}
+            )
+
+    return pages.select("url", "warc_ts", "html", "text").mapInPandas(
+        batches, schema=RESOLVED_SCHEMA
+    )

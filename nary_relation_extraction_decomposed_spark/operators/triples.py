@@ -1,0 +1,143 @@
+"""N-ary decomposition -> binary sub-relations -> (subj, pred, obj) triples.
+
+The north star's core relational shape:
+- DECOMPOSE: each candidate n-ary instance (pivot p; args a, b) is held ONLY
+  as its binary sub-relations (p, a) and (p, b) — rows in `subrels`.
+- REJOIN: sub-relations sharing (url, pivot mention, pred) are equi-joined
+  back together (Catalyst picks SMJ/SHJ; AQE may demote/split), matched
+  against a broadcast rule table, and emit triples.
+
+All joins are DataFrame equi-joins on (url, pivot_mid[, pred]) — the same
+key the evidence stage already shuffled by, so at scale these reuse one
+partitioning; the rule table and canon map are broadcast (small sides).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+TRIPLES_COLS = ("subj", "pred", "obj", "support")
+
+
+def binary_subrels(
+    evidence: DataFrame, mentions: DataFrame, sentences: DataFrame
+) -> DataFrame:
+    """evidence x mentions x sentences -> one row per accepted binary
+    sub-relation: (url, pivot_mid, pivot_norm, other_mid, other_norm, slot,
+    pred, subrel, path_len).
+
+    The sub-relation label is pred#slot where pred is the predicate of the
+    PIVOT mention's sentence; pairs whose pivot sentence has no predicate are
+    dropped (no relation signal).
+    """
+    piv = mentions.select(
+        F.col("url").alias("p_url"),
+        F.col("mention_id").alias("p_mid"),
+        F.col("surface_norm").alias("pivot_norm"),
+        F.col("sent_id").alias("pivot_sent"),
+    )
+    oth = mentions.select(
+        F.col("url").alias("o_url"),
+        F.col("mention_id").alias("o_mid"),
+        F.col("surface_norm").alias("other_norm"),
+    )
+    sent = sentences.select(
+        F.col("url").alias("s_url"),
+        F.col("sent_id").alias("s_sent"),
+        F.col("pred"),
+    ).filter(F.col("pred").isNotNull())
+
+    return (
+        evidence
+        .join(piv, (F.col("url") == F.col("p_url")) & (F.col("pivot_mid") == F.col("p_mid")))
+        .join(oth, (F.col("url") == F.col("o_url")) & (F.col("other_mid") == F.col("o_mid")))
+        .join(sent, (F.col("url") == F.col("s_url")) & (F.col("pivot_sent") == F.col("s_sent")))
+        .select(
+            "url",
+            "pivot_mid",
+            "pivot_norm",
+            "other_mid",
+            "other_norm",
+            "slot",
+            "pred",
+            F.concat_ws("#", F.col("pred"), F.col("slot")).alias("subrel"),
+            "path_len",
+        )
+    )
+
+
+def rejoin_triples(
+    subrels: DataFrame,
+    pred_rules: DataFrame,
+    canon_map: DataFrame | None = None,
+) -> DataFrame:
+    """Rejoin slot-a and slot-b sub-relations on (url, pivot_mid, pred),
+    match the broadcast rule table (subrel_a, subrel_b -> pred_a, pred_b),
+    emit both triples of each accepted n-ary instance, canonicalize entity
+    labels, and aggregate support = distinct source urls.
+    """
+    a = subrels.filter(F.col("slot") == "a").select(
+        "url", "pivot_mid", "pivot_norm", "pred",
+        F.col("other_norm").alias("a_norm"),
+        F.col("subrel").alias("subrel_a"),
+    )
+    b = subrels.filter(F.col("slot") == "b").select(
+        F.col("url").alias("b_url"),
+        F.col("pivot_mid").alias("b_pivot_mid"),
+        F.col("pred").alias("b_pred"),
+        F.col("other_norm").alias("b_norm"),
+        F.col("subrel").alias("subrel_b"),
+    )
+    joined = (
+        a.join(
+            b,
+            (F.col("url") == F.col("b_url"))
+            & (F.col("pivot_mid") == F.col("b_pivot_mid"))
+            & (F.col("pred") == F.col("b_pred")),
+        )
+        .join(broadcast(pred_rules), ["subrel_a", "subrel_b"])
+    )
+    pairs = joined.select(
+        "url",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pivot_norm").alias("subj_norm"),
+                    F.col("pred_a").alias("pred"),
+                    F.col("a_norm").alias("obj_norm"),
+                ),
+                F.struct(
+                    F.col("pivot_norm").alias("subj_norm"),
+                    F.col("pred_b").alias("pred"),
+                    F.col("b_norm").alias("obj_norm"),
+                ),
+            )
+        ).alias("t"),
+    ).select("url", "t.subj_norm", "t.pred", "t.obj_norm")
+
+    if canon_map is not None:
+        cm_s = broadcast(canon_map.select(
+            F.col("surface_norm").alias("subj_norm"), F.col("canonical").alias("subj_canon")))
+        cm_o = broadcast(canon_map.select(
+            F.col("surface_norm").alias("obj_norm"), F.col("canonical").alias("obj_canon")))
+        pairs = (
+            pairs.join(cm_s, "subj_norm", "left")
+            .join(cm_o, "obj_norm", "left")
+            .select(
+                "url",
+                F.coalesce("subj_canon", "subj_norm").alias("subj_norm"),
+                "pred",
+                F.coalesce("obj_canon", "obj_norm").alias("obj_norm"),
+            )
+        )
+
+    return (
+        pairs.groupBy(
+            F.col("subj_norm").alias("subj"),
+            F.col("pred"),
+            F.col("obj_norm").alias("obj"),
+        )
+        .agg(F.countDistinct("url").alias("support"))
+    )

@@ -1,0 +1,22 @@
+"""queries() registry: qkey -> callable(spark, sf_dir) -> DataFrame.
+
+Every key here is an operator row from SURVEY.md §2; each SQL-expressible
+key has a DuckDB twin in plans/oracles.py with IDENTICAL column aliases
+(the driver hash-compares values with columns sorted by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco

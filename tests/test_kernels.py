@@ -1,0 +1,70 @@
+"""Kernel-level invariants: SQL<->Python spec agreement, extractor
+determinism, tokenizer/gazetteer behavior."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nary_relation_extraction_decomposed_spark.extract.html import extract_text
+from nary_relation_extraction_decomposed_spark.functions import textnorm
+from nary_relation_extraction_decomposed_spark.operators.kernels import (
+    GazetteerIndex,
+    detect_mentions_in_text,
+    tokenize_with_offsets,
+)
+
+SAMPLES = [
+    "Adri-vax", "ADRIVAX", "adrivax", "BRC7", "V600E", "Fen sotax",
+    "  weird   spacing  ", "punct,.;!", "café naïve", "a", "", "x1-y2_z3",
+]
+
+
+def test_normalize_sql_matches_python(spark):
+    df = spark.createDataFrame([(s,) for s in SAMPLES], "s string")
+    got = df.select(
+        textnorm.normalize_surface_col(F.col("s")).alias("n"),
+        textnorm.compact_form_col(F.col("s")).alias("c"),
+        textnorm.shingles_col(F.col("s")).alias("sh"),
+    ).collect()
+    for s, row in zip(SAMPLES, got):
+        assert row["n"] == textnorm.normalize_surface(s), s
+        assert row["c"] == textnorm.compact_form(s), s
+        assert list(row["sh"]) == textnorm.shingles(s), s
+
+
+def test_extractor_basics():
+    html = (
+        b"<html><head><title>T&amp;A</title><style>p{x}</style></head>"
+        b"<body><!-- c --><p>hello <b>world</b></p><p>&#x41;&#66;&eacute;</p>"
+        b"<script>var x=1;</script></body></html>"
+    )
+    assert extract_text(html) == "T&A\nhello world\nABé"
+    assert extract_text(None) == ""
+    assert extract_text(b"") == ""
+    # latin-1 fallback
+    assert extract_text("café".encode("latin-1")) == "café"
+    # truncated html is total and deterministic
+    assert extract_text(b"<html><body><p>abc<") == "abc<"
+    # idempotent determinism
+    assert extract_text(html) == extract_text(html)
+
+
+def test_tokenizer_offsets():
+    toks = tokenize_with_offsets("Adri-vax BINDS gene7!")
+    assert toks == [("adri", 0, 4), ("vax", 5, 8), ("binds", 9, 14), ("gene7", 15, 20)]
+
+
+def test_gazetteer_longest_match():
+    gaz = GazetteerIndex.build(
+        [("adri vax", "D1", "DRUG"), ("adri", "D2", "DRUG"), ("brc7", "G1", "GENE")]
+    )
+    text = "Adri-vax binds BRC7.\nadri alone."
+    ms = detect_mentions_in_text(text, gaz)
+    assert [(m["ent_id"], m["surface_norm"], m["sent_id"]) for m in ms] == [
+        ("D1", "adri vax", 0),
+        ("G1", "brc7", 0),
+        ("D2", "adri", 1),
+    ]
+    # offsets slice the original text
+    for m in ms:
+        assert text[m["begin"]:m["end"]] == m["surface"]
