@@ -61,13 +61,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from nary_relation_extraction_decomposed_spark.plans.queries import QUERIES
+    from nary_relation_extraction_decomposed_spark.plans.queries import register_all
 
-    return dict(QUERIES)
+    return dict(register_all())
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible key in ``queries()``."""
+    from nary_relation_extraction_decomposed_spark.plans.queries import register_all
     from nary_relation_extraction_decomposed_spark.plans.oracles import ORACLES
 
+    register_all()  # oracle entries are registered alongside their queries
     return dict(ORACLES)

@@ -1,0 +1,164 @@
+"""Benchmark runner (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Headline mix = the engine's load-bearing paths:
+  kg_pipeline   full extract->mentions->BFS->decompose->rejoin over pages
+  er_canon      MinHash-LSH + connected-components entity resolution
+  rejoin_heavy  the binary->triple equi-join at lineitem scale
+  agg_q1        TPC-H-Q1-style wide aggregation
+  minhash_dedup LSH near-dup candidates over documents
+  ann_topk      brute-force cosine top-k over embeddings
+  win_session   session windows over events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "20"))
+
+
+def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
+    """Full KG pipeline over pages derived from the documents table
+    (replicated REPLICATE x with distinct urls so throughput is measured on
+    a corpus, not on fixed per-stage overhead), using a closed-vocabulary
+    gazetteer so mention/evidence stages do real work.
+
+    Stage boundaries are materialized with localCheckpoint — the same
+    materialization the production checkpointed pipeline performs — so the
+    measured wall is one pass over the data, not DAG recomputation.
+    Returns (n_docs, n_triples)."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.operators.graph import (
+        doc_graph_evidence,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.mentions import (
+        analyze_sentences,
+        detect_mentions,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.textprep import (
+        dedup_latest_per_url,
+        filter_pages,
+        resolve_text,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.triples import (
+        binary_subrels,
+        rejoin_triples,
+    )
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import (
+        GAZ_WORDS,
+        PRED_WORDS,
+        _gaz_df,
+    )
+    from nary_relation_extraction_decomposed_spark.sources.tables import (
+        pages_from_documents,
+    )
+
+    pages = pages_from_documents(spark, sf_dir)
+    if REPLICATE > 1:
+        pages = pages.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("_copy")
+        ).select(
+            F.concat_ws("/", "url", "_copy").alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    width = spark.sparkContext.defaultParallelism * 2
+    stage_t: dict[str, float] = {}
+    t = time.time()
+    docs = resolve_text(
+        dedup_latest_per_url(filter_pages(pages, "en"), num_partitions=width)
+    ).localCheckpoint()
+    n_docs = docs.count()
+    stage_t["extract"] = round(time.time() - t, 2)
+    t = time.time()
+    ments = detect_mentions(docs, _gaz_df(spark)).localCheckpoint()
+    sents = analyze_sentences(docs, PRED_WORDS).localCheckpoint()
+    stage_t["mentions"] = round(time.time() - t, 2)
+    t = time.time()
+    ev = doc_graph_evidence(
+        ments, sents, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
+    ).localCheckpoint()
+    stage_t["bfs"] = round(time.time() - t, 2)
+    t = time.time()
+    sr = binary_subrels(ev, ments, sents)
+    rules = spark.createDataFrame(
+        [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
+        "subrel_a string, subrel_b string, pred_a string, pred_b string",
+    )
+    trips = rejoin_triples(sr, rules, canon_map=None)
+    n_triples = trips.count()
+    stage_t["rejoin"] = round(time.time() - t, 2)
+    bench_kg_pipeline.stage_timings = stage_t
+    return n_docs, n_triples
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from nary_relation_extraction_decomposed_spark.session import build_session
+    from nary_relation_extraction_decomposed_spark.plans.queries import register_all
+
+    QUERIES = register_all()
+
+    spark = build_session(
+        app_name="nary-kg-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(int(CPUS) * 2, 8),
+        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM/Python workers so timings measure the engine, not startup
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    t0 = time.time()
+    n_docs, n_triples = bench_kg_pipeline(spark, SF_DIR)
+    timings["kg_pipeline"] = round(time.time() - t0, 3)
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+    extras["kg_stages"] = getattr(bench_kg_pipeline, "stage_timings", {})
+
+    def run(name: str, qkey: str) -> None:
+        t = time.time()
+        QUERIES[qkey](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t, 3)
+
+    run("er_canon", "canonicalize")
+    run("rejoin_heavy", "rejoin_triples")
+    run("agg_q1", "agg_counts")
+    run("minhash_dedup", "dedup_minhash")
+    run("ann_topk", "ann_topk")
+    run("win_session", "win_session")
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline+operator_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": int(CPUS),
+        "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

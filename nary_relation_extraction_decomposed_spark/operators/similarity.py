@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  (huge) corpus; dot products via zip_with/aggregate — JVM higher-order
+  functions, no Python, no shuffle except the final per-query top-k.
+- LSH-bucketed variant (random hyperplanes): the scale path — candidates
+  only within matching sign-buckets, then exact rerank. Hyperplanes are
+  derived deterministically from a seed via content hashing, so signatures
+  are identical across runs/clusters.
+- Centroid per group: grouped-agg over exploded positions (SQL) or a
+  grouped-map pandas UDAF (numpy) — both provided.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import broadcast
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def ann_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(q_id, n_id, cosine, rank) — exact top-k by cosine.
+    Rank orders by ROUNDED cosine then neighbor id so ordering is stable
+    under last-ulp float differences (cross-engine determinism)."""
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("n_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature_col(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature as a bigint bucket key. Plane (p, d)
+    component = deterministic pseudo-random in {-1,+1} from xxhash64(seed,p,d)
+    — content-free, reproducible on any cluster, no stored model."""
+    def _signer(p: int):
+        def sign(x, d):
+            return F.when(
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2)) == 0, x
+            ).otherwise(-x)
+
+        return sign
+
+    sig = None
+    for p in range(n_planes):
+        comp = F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _signer(p))
+        s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        bit = F.when(s >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: OR-amplified random-hyperplane LSH — n_tables
+    independent sign-bucket tables (per-table AND over n_planes), candidates
+    = union over tables, then exact cosine rerank + dedup.
+
+    At 100 TB the bucket equi-join replaces the cross join; recall ~
+    1-(1-p^planes)^tables where p = 1 - angle/pi. More tables -> higher
+    recall, linearly more candidate volume."""
+
+    def with_buckets(df, prefix):
+        v = as_double(F.col(vec_col))
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("int").alias("tbl"),
+                    hyperplane_signature_col(v, dim, n_planes, seed=42 + t).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            v.alias(f"{prefix}_vec"),
+            F.explode(buckets).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.tbl", "bb.bucket")
+
+    q = broadcast(with_buckets(queries, "q"))
+    c = with_buckets(corpus, "n")
+    cands = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", "q_vec", "n_vec")
+        .dropDuplicates(["q_id", "n_id"])  # union over tables
+    )
+    scored = cands.select(
+        "q_id", "n_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def embed_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: Column | str,
+    block: Column,
+    threshold: float,
+) -> DataFrame:
+    """Blocked embedding-cosine near-dup pairs (id_a < id_b, cosine)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    g = df.select(F.col(id_col).alias("id"), block.alias("blk"), as_double(vec).alias("v"))
+    a = g.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = g.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def centroids_sql(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
+    """(group, pos, centroid) via posexplode + avg — pure SQL path.
+
+    Cross-engine exactness: elements are quantized to integer micro-units
+    BEFORE summing (float sums are accumulation-order-dependent; integer
+    sums are exact), then one double division at the end."""
+    ex = df.select(F.col(group_col), F.posexplode(vec_col).alias("pos", "v"))
+    q = F.round(F.col("v").cast("double") * 1000000.0, 0).cast("bigint")
+    return (
+        ex.groupBy(group_col, "pos")
+        .agg(F.sum(q).alias("sum_micro"), F.count("*").alias("n"))
+        .select(
+            group_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round(F.col("sum_micro") / (F.col("n") * 1000000.0), 6).alias("centroid"),
+        )
+    )
+
+
+def centroids_pandas(df: DataFrame, group_col: str, vec_col: str = "embedding") -> DataFrame:
+    """Grouped-map pandas UDAF path: numpy mean per group (Arrow batches)."""
+    import numpy as np
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf[vec_col].to_numpy())
+        return pd.DataFrame({group_col: [key[0]], "centroid_vec": [np.round(mat.mean(axis=0), 6).tolist()]})
+
+    gtype = dict(df.dtypes)[group_col]
+    return df.select(group_col, vec_col).groupBy(group_col).applyInPandas(
+        agg, schema=f"{group_col} {gtype}, centroid_vec array<double>"
+    )

@@ -31,9 +31,17 @@ def filter_pages(pages: DataFrame, lang: str = "en") -> DataFrame:
     )
 
 
-def dedup_latest_per_url(pages: DataFrame) -> DataFrame:
+def dedup_latest_per_url(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Exactly one row per url: latest warc_ts, ties broken by html length
-    then text — fully deterministic (never dropDuplicates)."""
+    then text — fully deterministic (never dropDuplicates).
+
+    num_partitions pins the url-hash partitioning width. This matters when a
+    Python-heavy stage (the extractor) follows: AQE coalesces shuffles by
+    BYTES and will happily collapse a small-but-CPU-expensive corpus onto a
+    few cores; an explicit user repartition is exempt from AQE coalescing,
+    and the window reuses the same url partitioning (no extra shuffle)."""
+    if num_partitions:
+        pages = pages.repartition(num_partitions, "url")
     w = Window.partitionBy("url").orderBy(
         F.col("warc_ts").desc(),
         F.length(F.col("html")).desc_nulls_last(),

@@ -1,0 +1,44 @@
+"""Table-format layer: Iceberg-shaped writes, parquet-backed in the sandbox.
+
+At deployment the pages/triples tables are Iceberg, partitioned by
+days(warc_ts) + bucket(N, url) so that (a) time-range queries prune
+partitions statically, (b) per-url operations (dedup, incremental joins)
+co-locate, (c) commit atomicity/snapshots come from the table format. No
+Iceberg jar ships in this sandbox, so this module emulates the layout with
+hive-style partitioned parquet behind the SAME function signature — the
+writeTo() call is isolated here and swaps in one place:
+
+    df.writeTo(table).partitionedBy(F.days("warc_ts"), F.bucket(64, "url"))
+      .createOrReplace()
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_pages_style_table(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "warc_ts",
+    key_col: str = "url",
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """days(ts) x bucket(key) partitioned write (Iceberg-transform emulation:
+    dt = date string; kb = content-hash bucket — both derived, deterministic,
+    and prunable by Catalyst on equality/range predicates)."""
+    out = df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd")).withColumn(
+        "kb", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    )
+    out.write.mode(mode).partitionBy("dt", "kb").parquet(path)
+
+
+def read_pages_style_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_triples_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Triples partitioned by predicate (low cardinality, query-pruned)."""
+    df.write.mode(mode).partitionBy("pred").parquet(path)

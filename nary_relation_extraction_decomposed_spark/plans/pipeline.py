@@ -33,6 +33,9 @@ class PipelineConfig:
     lang: str = "en"
     max_path_len: int = MAX_PATH_LEN
     canonicalize: bool = True
+    # partitioning floor for Python-heavy stages (None -> 2x cores); see
+    # operators/graph.py on why AQE byte-coalescing must not size these
+    python_parallelism: int | None = None
 
 
 @dataclass
@@ -47,20 +50,91 @@ class PipelineResult:
     stages: dict[str, DataFrame] = field(default_factory=dict)
 
 
+def run_pipeline_checkpointed(
+    pages: DataFrame,
+    gazetteer: DataFrame,
+    pred_rules: DataFrame,
+    config: PipelineConfig,
+    ckpt_root: str,
+    corpus_fp: str,
+) -> tuple[PipelineResult, "object"]:
+    """run_pipeline with per-stage checkpoint/manifest (kill-resume).
+
+    Stage DAG and fingerprints chain so a rerun after ANY kill point skips
+    every committed stage and recomputes only the tail. Returns (result,
+    checkpointer) — checkpointer.stats records skipped/built per stage.
+    """
+    from .checkpoint import StageCheckpointer, fingerprint
+
+    spark = pages.sparkSession
+    ck = StageCheckpointer(spark, ckpt_root)
+    cfg_fp = fingerprint(corpus_fp, repr(config))
+
+    width = config.python_parallelism or (
+        spark.sparkContext.defaultParallelism * 2
+    )
+    docs, fp_docs = ck.run_stage(
+        "docs", cfg_fp,
+        lambda: textprep.resolve_text(
+            textprep.dedup_latest_per_url(
+                textprep.filter_pages(pages, config.lang), num_partitions=width
+            )
+        ),
+    )
+    ments, fp_m = ck.run_stage(
+        "mentions", fp_docs, lambda: M.detect_mentions(docs, gazetteer)
+    )
+    sents, fp_s = ck.run_stage(
+        "sentences", fp_docs,
+        lambda: M.analyze_sentences(docs, list(config.pred_vocab)),
+    )
+    ev, fp_e = ck.run_stage(
+        "evidence", fingerprint(fp_m, fp_s),
+        lambda: graph.doc_graph_evidence(
+            ments, sents, config.pivot_type, list(config.arg_slots),
+            config.max_path_len, num_partitions=width,
+        ),
+    )
+    subrels, fp_sr = ck.run_stage(
+        "subrels", fp_e, lambda: T.binary_subrels(ev, ments, sents)
+    )
+    if config.canonicalize:
+        canon, fp_c = ck.run_stage(
+            "canon", fp_m, lambda: er.canonical_map(ments.select("surface_norm"))
+        )
+    else:
+        canon, fp_c = None, "nocanon"
+    trips, _ = ck.run_stage(
+        "triples", fingerprint(fp_sr, fp_c),
+        lambda: T.rejoin_triples(subrels, pred_rules, canon),
+    )
+    result = PipelineResult(
+        docs=docs, mentions=ments, sentences=sents, evidence=ev,
+        subrels=subrels, canon_map=canon, triples=trips,
+    )
+    return result, ck
+
+
 def run_pipeline(
     pages: DataFrame,
     gazetteer: DataFrame,
     pred_rules: DataFrame,
     config: PipelineConfig = PipelineConfig(),
 ) -> PipelineResult:
-    clean = textprep.dedup_latest_per_url(textprep.filter_pages(pages, config.lang))
+    width = config.python_parallelism or (
+        pages.sparkSession.sparkContext.defaultParallelism * 2
+    )
+    clean = textprep.dedup_latest_per_url(
+        textprep.filter_pages(pages, config.lang), num_partitions=width
+    )
     docs = textprep.resolve_text(clean)
 
     ments = M.detect_mentions(docs, gazetteer)
     sents = M.analyze_sentences(docs, list(config.pred_vocab))
 
     ev = graph.doc_graph_evidence(
-        ments, sents, config.pivot_type, list(config.arg_slots), config.max_path_len
+        ments, sents, config.pivot_type, list(config.arg_slots),
+        config.max_path_len, num_partitions=width,
     )
     subrels = T.binary_subrels(ev, ments, sents)
 

@@ -1,0 +1,299 @@
+"""KG-pipeline operator keys exercised over DRIVER tables (so the DuckDB
+oracle can check the real operators — including the UDF stages — end to end).
+
+The trick: `documents` text is a closed-vocabulary word stream, so gazetteer
+mention detection, sentence predicates, single-sentence BFS evidence and the
+decompose step all have exact ANSI-SQL twins. The deep multi-sentence BFS
+semantics are pinned by the fixture goldens in tests/test_pipeline_golden.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ..operators.connected_components import connected_components
+from ..operators.er import canonical_map
+from ..operators.graph import doc_graph_evidence
+from ..operators.mentions import analyze_sentences, detect_mentions
+from ..operators.textprep import resolve_text
+from ..operators.triples import binary_subrels
+from ..functions.hashing import lsh_band_hashes_col, minhash_signature_col
+from ..functions.textnorm import shingles_col
+from ..sources.tables import pages_from_documents
+from .oracles import ORACLES
+from .common import _t
+from .queries import query
+
+GAZ_WORDS = [
+    ("spark", "E_PIV", "PIV"),
+    ("join", "E_JOIN", "ARGA"),
+    ("filter", "E_FILT", "ARGA"),
+    ("merge", "E_MERG", "ARGB"),
+    ("hash", "E_HASH", "ARGB"),
+]
+_GAZ_A = "('join','filter')"
+_GAZ_B = "('merge','hash')"
+_GAZ_ALL = "('spark','join','filter','merge','hash')"
+PRED_WORDS = ["group", "order"]
+
+_DUCK_MENTIONS = f"""
+  toks AS (
+    SELECT CAST(doc_id AS VARCHAR) AS url, t.u AS ord,
+           regexp_extract_all(lower(text), '[a-z0-9]+')[t.u] AS tok
+    FROM documents,
+         unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS t(u)
+  ),
+  mentions AS (
+    SELECT url, ord, tok,
+           CAST(row_number() OVER (PARTITION BY url ORDER BY ord) - 1 AS BIGINT)
+             AS mention_id
+    FROM toks WHERE tok IN {_GAZ_ALL}
+  )
+"""
+
+
+def _docs(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+
+
+def _gaz_df(spark):
+    return spark.createDataFrame(GAZ_WORDS, "surface_norm string, ent_id string, ent_type string")
+
+
+@query("scan_pages")
+def scan_pages(spark, sf_dir):
+    """Pages-shaped scan (binding input shape) derived from documents."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = pages_from_documents(spark, sf_dir)
+    return p.select(
+        "url", "warc_ts", "lang", F.length("html").cast("bigint").alias("html_bytes")
+    )
+
+ORACLES["scan_pages"] = """
+SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + to_seconds(CAST(doc_id AS BIGINT)) AS warc_ts,
+       lang,
+       CAST(octet_length(encode('<html><head><title>doc</title></head><body><p>'
+            || coalesce(text, '') || '</p></body></html>')) AS BIGINT) AS html_bytes
+FROM documents
+"""
+
+
+@query("extract_text")
+def extract_text_q(spark, sf_dir):
+    """The frozen extractor over the pages scan — oracle-checkable because
+    fixture text is whitespace-clean ASCII (title line + body line)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    p = pages_from_documents(spark, sf_dir)
+    return resolve_text(p).select("url", "text")
+
+ORACLES["extract_text"] = """
+SELECT 'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN text IS NULL OR text = '' THEN 'doc'
+            ELSE 'doc' || chr(10) || text END AS text
+FROM documents
+"""
+
+
+@query("detect_mentions")
+def detect_mentions_q(spark, sf_dir):
+    m = detect_mentions(_docs(spark, sf_dir), _gaz_df(spark))
+    return m.select(
+        "url", F.col("mention_id").cast("bigint").alias("mention_id"),
+        "surface_norm", "ent_type",
+    )
+
+ORACLES["detect_mentions"] = f"""
+WITH {_DUCK_MENTIONS}
+SELECT url, mention_id, tok AS surface_norm,
+       CASE WHEN tok = 'spark' THEN 'PIV'
+            WHEN tok IN {_GAZ_A} THEN 'ARGA'
+            ELSE 'ARGB' END AS ent_type
+FROM mentions
+"""
+
+
+@query("doc_graph_bfs")
+def doc_graph_bfs_q(spark, sf_dir):
+    """Cogrouped applyInPandas graph+BFS. Driver docs are single-sentence, so
+    every (PIV, ARG) pair is reachable at path_len=2 — SQL-expressible."""
+    docs = _docs(spark, sf_dir)
+    m = detect_mentions(docs, _gaz_df(spark))
+    s = analyze_sentences(docs, PRED_WORDS)
+    ev = doc_graph_evidence(m, s, "PIV", [("ARGA", "a"), ("ARGB", "b")])
+    return ev.select(
+        "url",
+        F.col("pivot_mid").cast("bigint").alias("pivot_mid"),
+        F.col("other_mid").cast("bigint").alias("other_mid"),
+        "slot",
+        F.col("path_len").cast("bigint").alias("path_len"),
+    )
+
+ORACLES["doc_graph_bfs"] = f"""
+WITH {_DUCK_MENTIONS}
+SELECT p.url, p.mention_id AS pivot_mid, o.mention_id AS other_mid,
+       CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS slot,
+       CAST(2 AS BIGINT) AS path_len
+FROM mentions p JOIN mentions o
+  ON p.url = o.url AND p.tok = 'spark' AND o.tok <> 'spark'
+"""
+
+
+@query("decompose_nary")
+def decompose_nary_q(spark, sf_dir):
+    """Binary sub-relation construction (the n-ary decomposition): evidence
+    x mentions x sentence-predicates via DataFrame joins."""
+    docs = _docs(spark, sf_dir)
+    m = detect_mentions(docs, _gaz_df(spark))
+    s = analyze_sentences(docs, PRED_WORDS)
+    ev = doc_graph_evidence(m, s, "PIV", [("ARGA", "a"), ("ARGB", "b")])
+    sr = binary_subrels(ev, m, s)
+    return sr.select(
+        "url",
+        F.col("pivot_mid").cast("bigint").alias("pivot_mid"),
+        F.col("other_mid").cast("bigint").alias("other_mid"),
+        "slot", "pred", "subrel", "other_norm",
+    )
+
+ORACLES["decompose_nary"] = f"""
+WITH {_DUCK_MENTIONS},
+preds AS (
+  SELECT CAST(doc_id AS VARCHAR) AS url,
+         nullif(regexp_extract(lower(text), '\\b(group|order)\\b', 1), '') AS pred
+  FROM documents
+)
+SELECT p.url, p.mention_id AS pivot_mid, o.mention_id AS other_mid,
+       CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS slot,
+       pr.pred,
+       pr.pred || '#' || CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS subrel,
+       o.tok AS other_norm
+FROM mentions p
+JOIN mentions o ON p.url = o.url AND p.tok = 'spark' AND o.tok <> 'spark'
+JOIN preds pr ON pr.url = p.url AND pr.pred IS NOT NULL
+"""
+
+
+@query("rejoin_triples")
+def rejoin_triples_q(spark, sf_dir):
+    """The binary->n-ary rejoin shape on driver tables: sub-relations sharing
+    (doc, pivot) equi-joined back together."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_partkey", "l_linenumber")
+    a = (
+        li.filter(F.col("l_linenumber") % 2 == 1)
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.col("l_suppkey").alias("pivot_id"),
+            F.col("l_partkey").alias("other_a"),
+        )
+        .distinct()
+    )
+    b = (
+        li.filter(F.col("l_linenumber") % 2 == 0)
+        .select(
+            F.col("l_orderkey").alias("doc_id"),
+            F.col("l_suppkey").alias("pivot_id"),
+            F.col("l_partkey").alias("other_b"),
+        )
+        .distinct()
+    )
+    return (
+        a.join(b, ["doc_id", "pivot_id"])
+        .groupBy(
+            F.concat(F.lit("S"), F.col("pivot_id")).alias("subj"),
+            F.lit("links").alias("pred"),
+            F.concat(F.lit("P"), F.col("other_a")).alias("obj"),
+        )
+        .agg(F.countDistinct("doc_id").alias("support"))
+    )
+
+ORACLES["rejoin_triples"] = """
+WITH a AS (
+  SELECT DISTINCT l_orderkey AS doc_id, l_suppkey AS pivot_id, l_partkey AS other_a
+  FROM lineitem WHERE l_linenumber % 2 = 1
+), b AS (
+  SELECT DISTINCT l_orderkey AS doc_id, l_suppkey AS pivot_id, l_partkey AS other_b
+  FROM lineitem WHERE l_linenumber % 2 = 0
+)
+SELECT 'S' || CAST(a.pivot_id AS VARCHAR) AS subj, 'links' AS pred,
+       'P' || CAST(a.other_a AS VARCHAR) AS obj,
+       count(DISTINCT a.doc_id) AS support
+FROM a JOIN b ON a.doc_id = b.doc_id AND a.pivot_id = b.pivot_id
+GROUP BY 1, 2, 3
+"""
+
+
+@query("minhash_sig")
+def minhash_sig(spark, sf_dir):
+    """MinHash signatures over surface shingles (xxhash64 family ->
+    rows-only; determinism + banding invariants in tests/test_er.py)."""
+    surfaces = _t(spark, sf_dir, "documents").select(
+        F.lower(F.col("source")).alias("surface_norm")
+    ).distinct()
+    return surfaces.select(
+        "surface_norm",
+        minhash_signature_col(shingles_col(F.col("surface_norm"))).alias("sig"),
+    )
+
+
+@query("lsh_blocks")
+def lsh_blocks(spark, sf_dir):
+    """LSH banding of MinHash signatures (rows-only, same family)."""
+    sigs = minhash_sig(spark, sf_dir)
+    return sigs.select(
+        "surface_norm", F.explode(lsh_band_hashes_col(F.col("sig"))).alias("bb")
+    ).select("surface_norm", "bb.band", "bb.bucket")
+
+
+@query("conn_comp")
+def conn_comp(spark, sf_dir):
+    """Iterative-join connected components on a customer-nation bipartite
+    graph; DuckDB twin = recursive transitive closure + min."""
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") + 2000000).alias("src"),
+        (F.col("c_nationkey").cast("bigint") + 1000000).alias("dst"),
+    )
+    return connected_components(edges)
+
+ORACLES["conn_comp"] = """
+WITH RECURSIVE bidir AS (
+  SELECT c_custkey + 2000000 AS a, CAST(c_nationkey AS BIGINT) + 1000000 AS b FROM customer
+  UNION
+  SELECT CAST(c_nationkey AS BIGINT) + 1000000, c_custkey + 2000000 FROM customer
+), reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM bidir) t
+  UNION
+  SELECT r.src, b.b FROM reach r JOIN bidir b ON r.node = b.a
+)
+SELECT src AS node, MIN(node) AS comp FROM reach GROUP BY src
+"""
+
+
+@query("canonicalize")
+def canonicalize(spark, sf_dir):
+    """Full ER (MinHash-LSH -> verify -> CC -> canonical label) on derived
+    alias pairs: md5-based core strings with spaced variants sharing one
+    compact form; canonical = min surface_norm in the component."""
+    d = _t(spark, sf_dir, "documents")
+    core = F.substring(F.md5(F.concat(F.col("source"), F.col("lang"))), 1, 8)
+    spaced = F.concat(F.substring(core, 1, 4), F.lit(" "), F.substring(core, 5, 4))
+    surfaces = (
+        d.select(spaced.alias("surface_norm"))
+        .union(d.select(core.alias("surface_norm")))
+        .distinct()
+    )
+    return canonical_map(surfaces)
+
+ORACLES["canonicalize"] = """
+WITH cores AS (
+  SELECT DISTINCT substr(md5(source || lang), 1, 8) AS core FROM documents
+)
+SELECT substr(core, 1, 4) || ' ' || substr(core, 5, 4) AS surface_norm,
+       substr(core, 1, 4) || ' ' || substr(core, 5, 4) AS canonical
+FROM cores
+UNION ALL
+SELECT core, substr(core, 1, 4) || ' ' || substr(core, 5, 4) FROM cores
+"""

@@ -1,0 +1,512 @@
+"""Relational operator surface: projections, filters, joins, aggregations,
+windows, sorts, set ops (SURVEY.md §2 B-G) — each with a DuckDB oracle twin.
+
+Conventions for exact oracle agreement:
+- every computed column aliased identically in Spark and SQL
+- integer aggregates cast to BIGINT on both sides (DuckDB sum(int)->HUGEINT)
+- double aggregates rounded after aggregation; sums of 2-dp money values are
+  exactly 2-dp so round(.,2) is collision-free; averages computed as
+  round(sum,2)/count then rounded (identical IEEE division on both engines)
+- deterministic tie-breaks on every window/top-k (unique key in ORDER BY)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast
+
+
+from .oracles import ORACLES
+from .queries import query
+
+
+from .common import _t  # noqa: F401
+
+
+# ---------------------------------------------------------------- B. filters
+
+@query("project_basic")
+def project_basic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # price(2dp) * (1-disc)(2dp) is exactly 4dp -> round(.,4) is
+        # boundary-free (round(.,2) would hit engine-specific half cases)
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.concat_ws("|", "l_returnflag", "l_linestatus").alias("flag"),
+    )
+
+ORACLES["project_basic"] = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+       l_returnflag || '|' || l_linestatus AS flag
+FROM lineitem
+"""
+
+
+@query("filter_lang")
+def filter_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+ORACLES["filter_lang"] = """
+SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200
+"""
+
+
+@query("regex_filter")
+def regex_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("join [a-z]+ merge")).select(
+        "doc_id", F.regexp_extract("text", "join [a-z]+ merge", 0).alias("snippet")
+    )
+
+ORACLES["regex_filter"] = """
+SELECT doc_id, regexp_extract(text, 'join [a-z]+ merge') AS snippet
+FROM documents WHERE regexp_matches(text, 'join [a-z]+ merge')
+"""
+
+
+@query("dedup_url")
+def dedup_url(spark, sf_dir):
+    """Deterministic latest-row-per-key (the per-url dedup invariant,
+    applied to orders/custkey on driver tables)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+ORACLES["dedup_url"] = """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+      FROM orders) t
+WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------------ C. joins
+
+@query("join_broadcast")
+def join_broadcast(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            (F.round(F.sum("c_acctbal"), 2) / F.count("*")).alias("avg_bal_raw"),
+        )
+        .select("r_name", "n_custs", F.round("avg_bal_raw", 6).alias("avg_bal"))
+    )
+
+ORACLES["join_broadcast"] = """
+SELECT r_name, count(*) AS n_custs,
+       round(round(sum(c_acctbal), 2) / count(*), 6) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("join_left")
+def join_left(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o["o_custkey"] == c["c_custkey"], "left").select(
+        "o_orderkey", "c_name"
+    )
+
+ORACLES["join_left"] = """
+SELECT o_orderkey, c_name
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+ON o_custkey = c_custkey
+"""
+
+
+@query("join_semi")
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+ORACLES["join_semi"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+@query("join_anti")
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+ORACLES["join_anti"] = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("pairs_selfjoin")
+def pairs_selfjoin(spark, sf_dir):
+    """Within-group pair generation (mention-pair candidate pattern)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.toDF("l_orderkey", "ln_a")
+    b = li.toDF("l_orderkey", "ln_b")
+    return a.join(b, "l_orderkey").filter(F.col("ln_a") < F.col("ln_b"))
+
+ORACLES["pairs_selfjoin"] = """
+SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+FROM lineitem a JOIN lineitem b
+ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+"""
+
+
+@query("join_interval")
+def join_interval(spark, sf_dir):
+    """Overlapping-interval join: orders of one customer whose 30-day windows
+    overlap (span-overlap pattern)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    a = o.toDF("ck", "ok_a", "d_a")
+    b = o.toDF("ck", "ok_b", "d_b")
+    return (
+        a.join(b, "ck")
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.col("d_a") < F.col("d_b") + F.expr("INTERVAL 30 DAYS"))
+            & (F.col("d_b") < F.col("d_a") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .select("ck", "ok_a", "ok_b")
+    )
+
+ORACLES["join_interval"] = """
+SELECT a.o_custkey AS ck, a.o_orderkey AS ok_a, b.o_orderkey AS ok_b
+FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+WHERE a.o_orderkey < b.o_orderkey
+  AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+  AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+@query("join_asof")
+def join_asof(spark, sf_dir):
+    """As-of join: latest event at-or-before each order's synthetic 2024
+    timestamp for the order's user bucket. Equi-join + windowed pick —
+    the classic Spark as-of composition (no native ASOF operator)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("uk"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("o_orderkey") % 2592000).cast("double"))
+        ).alias("ts_o"),
+    )
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    j = o.join(e, (o["uk"] == e["user_id"]) & (e["ts"] <= o["ts_o"]))
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "event_id", "ts")
+    )
+
+ORACLES["join_asof"] = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey % 150 AS uk,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + to_seconds(CAST(o_orderkey % 2592000 AS BIGINT)) AS ts_o
+  FROM orders
+), j AS (
+  SELECT o.o_orderkey, e.event_id, e.ts,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) rn
+  FROM o JOIN events e ON e.user_id = o.uk AND e.ts <= o.ts_o
+)
+SELECT o_orderkey, event_id, ts FROM j WHERE rn = 1
+"""
+
+
+@query("join_bnl")
+def join_bnl(spark, sf_dir):
+    """Pure theta join (no equi key) -> broadcast nested loop."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(broadcast(r), n["n_name"] < r["r_name"]).select("n_name", "r_name")
+
+ORACLES["join_bnl"] = """
+SELECT n_name, r_name FROM nation JOIN region ON n_name < r_name
+"""
+
+
+# ------------------------------------------------------------- D. aggregates
+
+@query("agg_counts")
+def agg_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+ORACLES["agg_counts"] = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_distinct")
+def agg_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+ORACLES["agg_distinct"] = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("agg_approx")
+def agg_approx(spark, sf_dir):
+    """approx_count_distinct (HLL sketches differ across engines -> no
+    oracle; driver records rows-only). Sanity-tested vs exact in pytest."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+    )
+
+
+@query("agg_collect")
+def agg_collect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses")
+    )
+
+ORACLES["agg_collect"] = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("agg_rollup")
+def agg_rollup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.grouping_id().cast("bigint").alias("gid"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "gid",
+        )
+    )
+
+ORACLES["agg_rollup"] = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
+@query("agg_stats")
+def agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        )
+        .select(
+            "l_returnflag", "min_qty", "max_qty", "n_rows", "sd_qty",
+            F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+        )
+    )
+
+ORACLES["agg_stats"] = """
+SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       count(*) AS n_rows, round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- E. windows
+
+@query("win_rownum")
+def win_rownum(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "rn")
+    )
+
+ORACLES["win_rownum"] = """
+SELECT c_nationkey, c_custkey, CAST(rn AS BIGINT) AS rn
+FROM (SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) rn
+      FROM customer) t
+WHERE rn <= 3
+"""
+
+
+@query("win_lag")
+def win_lag(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    )
+
+ORACLES["win_lag"] = """
+SELECT event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 2) AS delta
+FROM events
+"""
+
+
+@query("win_frame")
+def win_frame(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("roll_sum"))
+
+ORACLES["win_frame"] = """
+SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+         AS roll_sum
+FROM events
+"""
+
+
+@query("win_topk")
+def win_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+ORACLES["win_topk"] = """
+SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) rnk
+      FROM orders) t
+WHERE rnk <= 2
+"""
+
+
+# ----------------------------------------------------------- F. sorts/limits
+
+@query("sort_global")
+def sort_global(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+ORACLES["sort_global"] = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+"""
+
+
+@query("topk_global")
+def topk_global(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "c_acctbal")
+    )
+
+ORACLES["topk_global"] = """
+SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+# -------------------------------------------------------------- G. set ops
+
+@query("set_union")
+def set_union(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+ORACLES["set_union"] = """
+SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier
+"""
+
+
+@query("set_intersect")
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+ORACLES["set_intersect"] = """
+SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier
+"""
+
+
+@query("set_except")
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return c.exceptAll(s)
+
+ORACLES["set_except"] = """
+SELECT DISTINCT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey FROM supplier
+"""

@@ -20,3 +20,17 @@ def query(name: str):
         return fn
 
     return deco
+
+
+def register_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Import the q_* modules for their @query side effects (lazily, so
+    importing any single q_* module directly never recurses) and return the
+    registry."""
+    from . import q_relational  # noqa: F401
+    from . import q_scalar  # noqa: F401
+    from . import q_text  # noqa: F401
+    from . import q_vector  # noqa: F401
+    from . import q_kg  # noqa: F401
+    from . import q_stream  # noqa: F401
+
+    return QUERIES
