@@ -27,7 +27,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "20"))
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — this sandbox runs on
+    a shared host with measured 0-45%% steal; every wall time must be read
+    against the steal it suffered."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
 
 
 def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
@@ -36,10 +47,9 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     a corpus, not on fixed per-stage overhead), using a closed-vocabulary
     gazetteer so mention/evidence stages do real work.
 
-    Stage boundaries are materialized with localCheckpoint — the same
-    materialization the production checkpointed pipeline performs — so the
-    measured wall is one pass over the data, not DAG recomputation.
-    Returns (n_docs, n_triples)."""
+    DAG-reuse points are persist()ed so the measured wall is one pass over
+    the data, not recomputation (the production pipeline materializes the
+    same points via checkpoint parquet). Returns (n_docs, n_triples)."""
     import pyspark.sql.functions as F
 
     from nary_relation_extraction_decomposed_spark.operators.graph import (
@@ -67,7 +77,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         pages_from_documents,
     )
 
-    pages = pages_from_documents(spark, sf_dir)
+    width = spark.sparkContext.defaultParallelism
+    pages = pages_from_documents(spark, sf_dir, num_partitions=width)
     if REPLICATE > 1:
         pages = pages.select(
             "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("_copy")
@@ -75,24 +86,17 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
             F.concat_ws("/", "url", "_copy").alias("url"),
             "warc_ts", "html", "text", "lang",
         )
-    width = spark.sparkContext.defaultParallelism * 2
-    stage_t: dict[str, float] = {}
-    t = time.time()
+    # persist() (not localCheckpoint) at DAG-reuse points: avoids paying a
+    # hard materialization barrier per stage while still preventing
+    # recomputation of the Python stages that feed multiple joins
     docs = resolve_text(
         dedup_latest_per_url(filter_pages(pages, "en"), num_partitions=width)
-    ).localCheckpoint()
-    n_docs = docs.count()
-    stage_t["extract"] = round(time.time() - t, 2)
-    t = time.time()
-    ments = detect_mentions(docs, _gaz_df(spark)).localCheckpoint()
-    sents = analyze_sentences(docs, PRED_WORDS).localCheckpoint()
-    stage_t["mentions"] = round(time.time() - t, 2)
-    t = time.time()
+    ).persist()
+    ments = detect_mentions(docs, _gaz_df(spark)).persist()
+    sents = analyze_sentences(docs, PRED_WORDS).persist()
     ev = doc_graph_evidence(
         ments, sents, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
-    ).localCheckpoint()
-    stage_t["bfs"] = round(time.time() - t, 2)
-    t = time.time()
+    )
     sr = binary_subrels(ev, ments, sents)
     rules = spark.createDataFrame(
         [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
@@ -100,8 +104,9 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     )
     trips = rejoin_triples(sr, rules, canon_map=None)
     n_triples = trips.count()
-    stage_t["rejoin"] = round(time.time() - t, 2)
-    bench_kg_pipeline.stage_timings = stage_t
+    n_docs = docs.count()  # cached — near-free after the run
+    for df in (docs, ments, sents):
+        df.unpersist()
     return n_docs, n_triples
 
 
@@ -116,7 +121,7 @@ def main() -> None:
     spark = build_session(
         app_name="nary-kg-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(int(CPUS) * 2, 8),
+        shuffle_partitions=max(int(CPUS), 8),
         extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,12 +132,12 @@ def main() -> None:
     # warm the JVM/Python workers so timings measure the engine, not startup
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
 
+    st0, tot0 = _cpu_stat()
     t0 = time.time()
     n_docs, n_triples = bench_kg_pipeline(spark, SF_DIR)
     timings["kg_pipeline"] = round(time.time() - t0, 3)
     extras["kg_docs"] = n_docs
     extras["kg_triples"] = n_triples
-    extras["kg_stages"] = getattr(bench_kg_pipeline, "stage_timings", {})
 
     def run(name: str, qkey: str) -> None:
         t = time.time()
@@ -146,8 +151,12 @@ def main() -> None:
     run("ann_topk", "ann_topk")
     run("win_session", "win_session")
 
+    st1, tot1 = _cpu_stat()
+    steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
+        "steal_pct": steal_pct,
         "metric": "kg_pipeline+operator_suite_wall",
         "value": total,
         "unit": "sec",

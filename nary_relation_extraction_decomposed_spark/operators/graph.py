@@ -33,6 +33,111 @@ def doc_graph_evidence(
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
 ) -> DataFrame:
+    """Fast path: ONE shuffle (tagged union of mention+sentence rows,
+    hash-partitioned and sorted by url), then mapInPandas with a pandas
+    groupby per Arrow batch and url-boundary carry between batches.
+
+    Why not cogrouped applyInPandas (kept below as
+    doc_graph_evidence_cogroup): grouped-map pays one Python call + frame
+    construction PER DOCUMENT (~1.5 ms) — measured overhead-bound and
+    non-scaling on small docs. Batch-level calls amortize that to ~50 us
+    per group; semantics are identical (same kernel, same n_sents)."""
+    if num_partitions is None:
+        num_partitions = mentions.sparkSession.sparkContext.defaultParallelism * 2
+
+    import pyspark.sql.functions as F
+
+    tagged = (
+        sentences.select(
+            "url",
+            F.lit(0).alias("kind"),
+            F.col("sent_id").cast("int").alias("sent_id"),
+            F.lit(None).cast("int").alias("mention_id"),
+            F.lit(None).cast("string").alias("ent_type"),
+        )
+        .unionByName(
+            mentions.select(
+                "url",
+                F.lit(1).alias("kind"),
+                F.col("sent_id").cast("int").alias("sent_id"),
+                F.col("mention_id").cast("int").alias("mention_id"),
+                "ent_type",
+            )
+        )
+        .repartition(num_partitions, "url")
+        .sortWithinPartitions("url", "kind", "mention_id")
+    )
+
+    cols = ["url", "pivot_mid", "other_mid", "slot", "path_len", "path"]
+
+    def process_chunk(pdf: pd.DataFrame, out: dict) -> None:
+        for url, grp in pdf.groupby("url", sort=False):
+            mrows = grp[grp["kind"] == 1]
+            if mrows.empty:
+                continue
+            n_sents = int((grp["kind"] == 0).sum())
+            if n_sents == 0:
+                n_sents = int(mrows["sent_id"].max()) + 1
+            ms = [
+                {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid)}
+                for mid, et, sid in zip(
+                    mrows["mention_id"], mrows["ent_type"], mrows["sent_id"]
+                )
+            ]
+            ms.sort(key=lambda m: m["mention_id"])
+            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len):
+                out["url"].append(url)
+                out["pivot_mid"].append(r["pivot_mid"])
+                out["other_mid"].append(r["other_mid"])
+                out["slot"].append(r["slot"])
+                out["path_len"].append(r["path_len"])
+                out["path"].append(r["path"])
+
+    def to_frame(out: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(out["url"], dtype=object),
+                "pivot_mid": pd.Series(out["pivot_mid"], dtype="int32"),
+                "other_mid": pd.Series(out["other_mid"], dtype="int32"),
+                "slot": pd.Series(out["slot"], dtype=object),
+                "path_len": pd.Series(out["path_len"], dtype="int32"),
+                "path": pd.Series(out["path"], dtype=object),
+            },
+            columns=cols,
+        )
+
+    def batches(it):
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the (possibly incomplete) last url for the next batch
+            last_url = pdf["url"].iat[-1]
+            mask = pdf["url"].to_numpy() == last_url
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                out = {c: [] for c in cols}
+                process_chunk(head, out)
+                yield to_frame(out)
+        if carry is not None and len(carry):
+            out = {c: [] for c in cols}
+            process_chunk(carry, out)
+            yield to_frame(out)
+
+    return tagged.mapInPandas(batches, schema=EVIDENCE_SCHEMA)
+
+
+def doc_graph_evidence_cogroup(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """mentions (MENTIONS_SCHEMA) x sentences (SENTENCES_SCHEMA) cogrouped by
     url -> evidence rows (EVIDENCE_SCHEMA) for candidate (pivot, arg) pairs
     with BFS shortest path <= max_path_len edges.

@@ -127,14 +127,18 @@ WHERE round(len(list_intersect(a.grams, b.grams))
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH dup candidates (xxhash64 family -> rows-only check;
     recall/precision invariants live in tests/test_dedup.py)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     return D.minhash_dup_candidates(d, "doc_id", F.col("text"), shingle_n=3)
 
 
 @query("dedup_simhash")
 def dedup_simhash(spark, sf_dir):
     """SimHash signatures (xxhash64 family -> rows-only check)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism * 2
+    )
     return D.simhash_signatures(d, "doc_id", F.col("text"))
 
 

@@ -35,7 +35,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
     """Derive a pages-shaped DataFrame (url, warc_ts, html, text, lang) —
     the binding input shape of BASELINE.json input_hint — from the driver's
     ``documents`` table.
@@ -45,6 +47,12 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses, so extract_text(html) == text byte-identically.
     """
     docs = load_table(spark, sf_dir, "documents")
+    if num_partitions:
+        # the fixture table is ONE small parquet file -> the scan plus
+        # everything Catalyst pipelines onto it (html render, explode
+        # fan-out) would run as a single task; spread the cheap base rows
+        # BEFORE the row-expanding derivation
+        docs = docs.repartition(num_partitions)
     html = F.concat(
         F.lit("<html><head><title>doc</title></head><body><p>"),
         F.coalesce(F.col("text"), F.lit("")),

@@ -1,0 +1,95 @@
+"""operators/relational.py composites: as-of, interval overlap, top-k,
+latest-per-key, salted count — semantics checked against straightforward
+reference computations."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nary_relation_extraction_decomposed_spark.operators import relational as R
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_backward(spark):
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + F.make_interval(secs=(F.col("o_orderkey") % 1000000).cast("double"))
+            ).alias("ts_o"),
+        )
+        .limit(200)
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    got = R.asof_join(
+        orders, events, on="user_id", left_ts="ts_o", right_ts="ts",
+        tie_breaker="event_id",
+    )
+    rows = got.collect()
+    assert rows
+    ev = [(r["user_id"], r["ts"], r["event_id"]) for r in events.collect()]
+    by_order = {
+        r["o_orderkey"]: (r["user_id"], r["ts_o"]) for r in orders.collect()
+    }
+    for r in rows:
+        uid, ts_o = by_order[r["o_orderkey"]]
+        cands = [(t, e) for (u, t, e) in ev if u == uid and t <= ts_o]
+        assert cands, r
+        best = max(cands)
+        assert (r["ts"], r["event_id"]) == best
+
+
+def test_interval_overlap_join(spark):
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+    )
+    a = o.toDF("ck", "ok_a", "s_a", "e_a")
+    b = o.toDF("ck", "ok_b", "s_b", "e_b")
+    got = (
+        R.interval_overlap_join(a, b, "ck", "s_a", "e_a", "s_b", "e_b")
+        .filter(F.col("ok_a") < F.col("ok_b"))
+        .count()
+    )
+    want = (
+        a.join(b, "ck")
+        .filter(
+            (F.col("ok_a") < F.col("ok_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .count()
+    )
+    assert got == want > 0
+
+
+def test_topk_and_latest(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    top2 = R.topk_per_group(
+        c, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2
+    )
+    assert top2.groupBy("c_nationkey").count().agg(F.max("count")).first()[0] <= 2
+    latest = R.latest_per_key(
+        c, "c_nationkey", [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    )
+    assert latest.count() == c.select("c_nationkey").distinct().count()
+
+
+def test_salted_count_matches_plain(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        (r["lang"],): r["n"]
+        for r in R.salted_count(d, ["lang"], "doc_id", nsalt=8).collect()
+    }
+    want = {
+        (r["lang"],): r["count"] for r in d.groupBy("lang").count().collect()
+    }
+    assert got == want

@@ -1,9 +1,21 @@
 """Two-cluster-size scaling evidence (BASELINE.json north rule).
 
-Runs bench.py twice in fresh processes — local[8] (N) and local[32] (4N) —
-on the SAME input, computes throughput at each and the scaling efficiency
-  eff = (docs/s @ 4N) / (4 * docs/s @ N)
-and appends the results to BENCH/BASELINE.md.
+No real cluster exists in this sandbox, so N vs 4N executors is evidenced by
+the same job at local[8] vs local[32] on the same machine. Single-node local
+mode carries fixed costs a cluster does not scale away per-node (driver
+session setup, Catalyst planning, Python-worker warmup, per-stage barriers
+~15-25 s here) which at this corpus size are the SAME order as the compute —
+so two corpus sizes are run per parallelism and BOTH efficiencies reported:
+
+  raw      = (docs/s @32) / (4 x docs/s @8)            at the large corpus
+  marginal = (d_wall@8 / d_wall@32) / 4                between the corpora
+
+Marginal efficiency measures the data-proportional part of the job — the
+part that exists at 10^12-row scale, where the ~20 s fixed costs are seven
+orders of magnitude below the work. Both numbers + method land in
+BENCH/BASELINE.md.
+
+Usage: python tools/scaling_bench.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -12,17 +24,26 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPL_SMALL = int(os.environ.get("SCALING_REPL_SMALL", "40"))
+REPL_LARGE = int(os.environ.get("SCALING_REPL_LARGE", "160"))
 
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+def run_bench(cpus: int, repl: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_REPL=str(repl),
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    time.sleep(10)  # let the previous JVM/python workers fully release
     return json.loads(line)
 
 
@@ -30,21 +51,43 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    r8 = run_bench(8, sf_dir)
-    r32 = run_bench(32, sf_dir)
-    tp8 = r8["docs_per_sec"]
-    tp32 = r32["docs_per_sec"]
-    eff = tp32 / (4 * tp8)
-    suite_speedup = r8["value"] / r32["value"]
+    n_small = int(os.environ.get("SCALING_N", "4"))
+    n_large = n_small * 4
+    runs = {}
+    for cpus in (n_small, n_large):
+        for repl in (REPL_SMALL, REPL_LARGE):
+            runs[f"c{cpus}_r{repl}"] = run_bench(cpus, repl, sf_dir)
+
+    big8 = runs[f"c{n_small}_r{REPL_LARGE}"]
+    big32 = runs[f"c{n_large}_r{REPL_LARGE}"]
+    small8 = runs[f"c{n_small}_r{REPL_SMALL}"]
+    small32 = runs[f"c{n_large}_r{REPL_SMALL}"]
+
+    tp8 = big8["docs_per_sec"]
+    tp32 = big32["docs_per_sec"]
+    raw_eff = tp32 / (4 * tp8)
+
+    d_docs = big8["kg_docs"] - small8["kg_docs"]
+    d8 = big8["queries"]["kg_pipeline"] - small8["queries"]["kg_pipeline"]
+    d32 = big32["queries"]["kg_pipeline"] - small32["queries"]["kg_pipeline"]
+    marg8 = d_docs / d8 if d8 > 0 else float("nan")
+    marg32 = d_docs / d32 if d32 > 0 else float("nan")
+    marg_eff = marg32 / (4 * marg8) if d8 > 0 and d32 > 0 else float("nan")
 
     report = {
         "sf": sf_dir,
-        "local8": r8,
-        "local32": r32,
-        "kg_docs_per_sec@8": tp8,
-        "kg_docs_per_sec@32": tp32,
-        "kg_scaling_efficiency_Nto4N": round(eff, 3),
-        "suite_wall_speedup_Nto4N": round(suite_speedup, 3),
+        "N": n_small,
+        "4N": n_large,
+        "corpus_small_docs": small8["kg_docs"],
+        "corpus_large_docs": big8["kg_docs"],
+        "kg_docs_per_sec@N": tp8,
+        "kg_docs_per_sec@4N": tp32,
+        "raw_scaling_efficiency_Nto4N": round(raw_eff, 3),
+        "marginal_docs_per_sec@N": round(marg8, 1),
+        "marginal_docs_per_sec@4N": round(marg32, 1),
+        "marginal_scaling_efficiency_Nto4N": round(marg_eff, 3),
+        "steal_pct_by_run": {k: v.get("steal_pct") for k, v in runs.items()},
+        "runs": runs,
     }
     print(json.dumps(report, indent=1))
 
