@@ -53,7 +53,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     import pyspark.sql.functions as F
 
     from nary_relation_extraction_decomposed_spark.operators.graph import (
-        doc_graph_evidence,
+        doc_graph_subrels,
     )
     from nary_relation_extraction_decomposed_spark.operators.mentions import (
         analyze_sentences,
@@ -65,8 +65,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         resolve_text,
     )
     from nary_relation_extraction_decomposed_spark.operators.triples import (
-        binary_subrels,
         rejoin_triples,
+        subrels_from_evidence,
     )
     from nary_relation_extraction_decomposed_spark.plans.q_kg import (
         GAZ_WORDS,
@@ -92,12 +92,13 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     docs = resolve_text(
         dedup_latest_per_url(filter_pages(pages, "en"), num_partitions=width)
     ).persist()
-    ments = detect_mentions(docs, _gaz_df(spark)).persist()
-    sents = analyze_sentences(docs, PRED_WORDS).persist()
-    ev = doc_graph_evidence(
+    # ments/sents each feed only the fused graph stage now — no persist
+    ments = detect_mentions(docs, _gaz_df(spark))
+    sents = analyze_sentences(docs, PRED_WORDS)
+    ev = doc_graph_subrels(
         ments, sents, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
     )
-    sr = binary_subrels(ev, ments, sents)
+    sr = subrels_from_evidence(ev)
     rules = spark.createDataFrame(
         [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
         "subrel_a string, subrel_b string, pred_a string, pred_b string",
@@ -105,8 +106,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     trips = rejoin_triples(sr, rules, canon_map=None)
     n_triples = trips.count()
     n_docs = docs.count()  # cached — near-free after the run
-    for df in (docs, ments, sents):
-        df.unpersist()
+    docs.unpersist()
     return n_docs, n_triples
 
 

@@ -37,7 +37,7 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         bidir.select(F.col("u").alias("node"))
@@ -45,7 +45,7 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -53,6 +53,9 @@ def connected_components(
             .groupBy(F.col("u").alias("node2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # lazy localCheckpoint: the convergence count below is the ONLY
+        # action per iteration and materializes the checkpoint as it runs
+        # (eager=True would cost a second full job per round)
         new_labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
             .select(
@@ -60,7 +63,7 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")

@@ -24,6 +24,141 @@ EVIDENCE_SCHEMA = (
     "path_len int, path array<int>"
 )
 
+# evidence enriched with everything the decompose step needs — emitting these
+# from the BFS stage (the data is already in the chunk) saves three
+# corpus-sized joins downstream
+EVIDENCE_SUBREL_SCHEMA = (
+    "url string, pivot_mid int, pivot_norm string, pivot_sent int, "
+    "other_mid int, other_norm string, slot string, pred string, "
+    "path_len int, path array<int>"
+)
+
+
+def doc_graph_subrels(
+    mentions: DataFrame,
+    sentences: DataFrame,
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Fused evidence + decomposition attributes (EVIDENCE_SUBREL_SCHEMA).
+
+    Same tagged-union/sorted mapInPandas machinery as doc_graph_evidence,
+    but the chunk also resolves the pivot's surface_norm, the argument's
+    surface_norm, and the pivot-sentence predicate from rows already present
+    in the chunk — so the binary sub-relation table needs NO joins back to
+    mentions/sentences (pred stays nullable; filter pred IS NOT NULL +
+    subrel = pred#slot gives the decomposition, see triples.subrels_from_
+    evidence). The binary->triple REJOIN is still DataFrame joins."""
+    if num_partitions is None:
+        num_partitions = mentions.sparkSession.sparkContext.defaultParallelism * 2
+
+    import pyspark.sql.functions as F
+
+    tagged = (
+        sentences.select(
+            "url",
+            F.lit(0).alias("kind"),
+            F.col("sent_id").cast("int").alias("sent_id"),
+            F.lit(None).cast("int").alias("mention_id"),
+            F.lit(None).cast("string").alias("ent_type"),
+            F.lit(None).cast("string").alias("surface_norm"),
+            F.col("pred"),
+        )
+        .unionByName(
+            mentions.select(
+                "url",
+                F.lit(1).alias("kind"),
+                F.col("sent_id").cast("int").alias("sent_id"),
+                F.col("mention_id").cast("int").alias("mention_id"),
+                "ent_type",
+                "surface_norm",
+                F.lit(None).cast("string").alias("pred"),
+            )
+        )
+        .repartition(num_partitions, "url")
+        .sortWithinPartitions("url", "kind", "mention_id")
+    )
+
+    cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
+            "other_norm", "slot", "pred", "path_len", "path"]
+
+    def process_chunk(pdf: pd.DataFrame, out: dict) -> None:
+        for url, grp in pdf.groupby("url", sort=False):
+            mrows = grp[grp["kind"] == 1]
+            if mrows.empty:
+                continue
+            srows = grp[grp["kind"] == 0]
+            n_sents = len(srows)
+            if n_sents == 0:
+                n_sents = int(mrows["sent_id"].max()) + 1
+            pred_of_sent = dict(zip(srows["sent_id"], srows["pred"]))
+            ms = [
+                {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid),
+                 "surface_norm": sn}
+                for mid, et, sid, sn in zip(
+                    mrows["mention_id"], mrows["ent_type"],
+                    mrows["sent_id"], mrows["surface_norm"],
+                )
+            ]
+            ms.sort(key=lambda m: m["mention_id"])
+            by_mid = {m["mention_id"]: m for m in ms}
+            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len):
+                pm = by_mid[r["pivot_mid"]]
+                pred = pred_of_sent.get(pm["sent_id"])
+                if isinstance(pred, float):  # pandas NaN for null preds
+                    pred = None
+                out["url"].append(url)
+                out["pivot_mid"].append(r["pivot_mid"])
+                out["pivot_norm"].append(pm["surface_norm"])
+                out["pivot_sent"].append(pm["sent_id"])
+                out["other_mid"].append(r["other_mid"])
+                out["other_norm"].append(by_mid[r["other_mid"]]["surface_norm"])
+                out["slot"].append(r["slot"])
+                out["pred"].append(pred)
+                out["path_len"].append(r["path_len"])
+                out["path"].append(r["path"])
+
+    def to_frame(out: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(out["url"], dtype=object),
+                "pivot_mid": pd.Series(out["pivot_mid"], dtype="int32"),
+                "pivot_norm": pd.Series(out["pivot_norm"], dtype=object),
+                "pivot_sent": pd.Series(out["pivot_sent"], dtype="int32"),
+                "other_mid": pd.Series(out["other_mid"], dtype="int32"),
+                "other_norm": pd.Series(out["other_norm"], dtype=object),
+                "slot": pd.Series(out["slot"], dtype=object),
+                "pred": pd.Series(out["pred"], dtype=object),
+                "path_len": pd.Series(out["path_len"], dtype="int32"),
+                "path": pd.Series(out["path"], dtype=object),
+            },
+            columns=cols,
+        )
+
+    def batches(it):
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_url = pdf["url"].iat[-1]
+            mask = pdf["url"].to_numpy() == last_url
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                out = {c: [] for c in cols}
+                process_chunk(head, out)
+                yield to_frame(out)
+        if carry is not None and len(carry):
+            out = {c: [] for c in cols}
+            process_chunk(carry, out)
+            yield to_frame(out)
+
+    return tagged.mapInPandas(batches, schema=EVIDENCE_SUBREL_SCHEMA)
+
 
 def doc_graph_evidence(
     mentions: DataFrame,

@@ -21,6 +21,25 @@ from pyspark.sql.functions import broadcast
 TRIPLES_COLS = ("subj", "pred", "obj", "support")
 
 
+def subrels_from_evidence(enriched: DataFrame) -> DataFrame:
+    """Binary sub-relations from the FUSED evidence (graph.doc_graph_subrels
+    output, EVIDENCE_SUBREL_SCHEMA): the decomposition is a filter+project —
+    the graph stage already resolved surfaces and the pivot-sentence
+    predicate, so no joins are needed here. Same output schema/rows as
+    binary_subrels."""
+    return enriched.filter(F.col("pred").isNotNull()).select(
+        "url",
+        "pivot_mid",
+        "pivot_norm",
+        "other_mid",
+        "other_norm",
+        "slot",
+        "pred",
+        F.concat_ws("#", F.col("pred"), F.col("slot")).alias("subrel"),
+        "path_len",
+    )
+
+
 def binary_subrels(
     evidence: DataFrame, mentions: DataFrame, sentences: DataFrame
 ) -> DataFrame:

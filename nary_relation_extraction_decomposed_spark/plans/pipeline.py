@@ -90,13 +90,13 @@ def run_pipeline_checkpointed(
     )
     ev, fp_e = ck.run_stage(
         "evidence", fingerprint(fp_m, fp_s),
-        lambda: graph.doc_graph_evidence(
+        lambda: graph.doc_graph_subrels(
             ments, sents, config.pivot_type, list(config.arg_slots),
             config.max_path_len, num_partitions=width,
         ),
     )
     subrels, fp_sr = ck.run_stage(
-        "subrels", fp_e, lambda: T.binary_subrels(ev, ments, sents)
+        "subrels", fp_e, lambda: T.subrels_from_evidence(ev)
     )
     if config.canonicalize:
         canon, fp_c = ck.run_stage(
@@ -132,11 +132,11 @@ def run_pipeline(
     ments = M.detect_mentions(docs, gazetteer)
     sents = M.analyze_sentences(docs, list(config.pred_vocab))
 
-    ev = graph.doc_graph_evidence(
+    ev = graph.doc_graph_subrels(
         ments, sents, config.pivot_type, list(config.arg_slots),
         config.max_path_len, num_partitions=width,
     )
-    subrels = T.binary_subrels(ev, ments, sents)
+    subrels = T.subrels_from_evidence(ev)
 
     canon = er.canonical_map(ments.select("surface_norm")) if config.canonicalize else None
     trips = T.rejoin_triples(subrels, pred_rules, canon)
