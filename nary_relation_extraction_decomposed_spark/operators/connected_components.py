@@ -27,11 +27,46 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src long, dst long) -> (node long, comp long); comp is the min
     node id reachable. Nodes appearing only in edges are covered; pass
-    isolated nodes as self-loops if they must appear."""
+    isolated nodes as self-loops if they must appear.
+
+    Size-adaptive physical strategy (same idea as broadcast-vs-shuffle join
+    selection): an edge set under `driver_threshold` is collected and solved
+    with union-find on the driver — one job instead of ~4 iterations x
+    joins, which at small sizes are pure scheduler latency. Larger graphs
+    take the distributed min-label-propagation path below. Both paths are
+    deterministic and produce identical labels."""
     spark = edges.sparkSession
+
+    head = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
+        driver_threshold + 1
+    ).collect()
+    if len(head) <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in head:
+            for n in (r["u"], r["v"]):
+                parent.setdefault(n, n)
+        for r in head:
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(n, find(n)) for n in parent]
+        if not rows:
+            return spark.createDataFrame([], "node long, comp long")
+        return spark.createDataFrame(rows, "node long, comp long")
     bidir = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
