@@ -13,7 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from .kernels import GazetteerIndex, detect_mentions_in_text, sentence_predicates
 
@@ -22,6 +22,19 @@ MENTIONS_SCHEMA = (
     "surface string, surface_norm string, begin int, end int, sent_id int"
 )
 SENTENCES_SCHEMA = "url string, sent_id int, n_tokens int, pred string"
+
+
+def gazetteer_as_of(gazetteer: DataFrame, ts) -> DataFrame:
+    """Snapshot-aware dictionary: the latest row per (surface_norm, ent_id)
+    with snap_ts <= ts — the as-of pattern applied to the KG dictionary so a
+    rerun against a historical crawl uses the dictionary of that time."""
+    w = Window.partitionBy("surface_norm", "ent_id").orderBy(F.col("snap_ts").desc())
+    return (
+        gazetteer.filter(F.col("snap_ts") <= F.lit(ts))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def build_gazetteer_index(gazetteer: DataFrame) -> GazetteerIndex:

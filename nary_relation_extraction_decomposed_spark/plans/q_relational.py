@@ -510,3 +510,114 @@ SELECT DISTINCT c_nationkey AS nk FROM customer
 EXCEPT
 SELECT DISTINCT s_nationkey FROM supplier
 """
+
+
+# ----------------------------------------------------- extended coverage
+
+@query("agg_pivot")
+def agg_pivot(spark, sf_dir):
+    """Pivot (long->wide conditional aggregation)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).alias("p1"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).alias("p2"),
+            F.coalesce(F.col("3-MEDIUM"), F.lit(0)).alias("p3"),
+            F.coalesce(F.col("4-NOT SPECIFIED"), F.lit(0)).alias("p4"),
+            F.coalesce(F.col("5-LOW"), F.lit(0)).alias("p5"),
+        )
+    )
+
+ORACLES["agg_pivot"] = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_cube")
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.grouping_id().cast("bigint").alias("gid"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n", "gid",
+        )
+    )
+
+ORACLES["agg_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("win_rank_family")
+def win_rank_family(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+ORACLES["win_rank_family"] = """
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("tpch_q3ish")
+def tpch_q3ish(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + aggregation + top-k. Revenue summed in
+    exact integer 1e-4 units (product doubles are engine-identical; only the
+    SUM order differs, so quantize-then-sum is cross-engine exact)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev_q = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0, 0
+    ).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev_q) / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(20)
+    )
+
+ORACLES["tpch_q3ish"] = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0)
+                AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 20
+"""
