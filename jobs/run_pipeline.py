@@ -76,19 +76,25 @@ def main() -> None:
             for s, st in ck.stats.items()
         }
     else:
-        result = run_pipeline(pages, gaz, rules, config)
+        from dataclasses import replace
+
+        result = run_pipeline(pages, gaz, rules, replace(config, collect_metrics=True))
         stage_stats = {}
 
     write_triples_table(result.triples, os.path.join(args.output, "triples"))
     n_triples = spark.read.parquet(os.path.join(args.output, "triples")).count()
     n_docs = result.docs.count()
     wall = time.time() - t0
+    extract_metrics = (
+        {k: v.value for k, v in result.metrics.items()} if result.metrics else {}
+    )
     print(json.dumps({
         "n_docs": n_docs,
         "n_triples": n_triples,
         "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 2) if wall > 0 else None,
         "stages": stage_stats,
+        "extract_metrics": extract_metrics,
         "parallelism": spark.sparkContext.defaultParallelism,
     }))
     spark.stop()

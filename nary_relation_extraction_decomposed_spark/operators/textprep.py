@@ -54,7 +54,21 @@ def dedup_latest_per_url(pages: DataFrame, num_partitions: int | None = None) ->
     )
 
 
-def resolve_text(pages: DataFrame) -> DataFrame:
+def make_extract_metrics(spark) -> dict:
+    """Named accumulators for the extraction stage — per-task operational
+    metrics (rows seen, extracted-from-html vs provided-text, empties),
+    aggregated by Spark across all partitions; surfaced by
+    jobs/run_pipeline.py next to the per-partition manifest lineage."""
+    sc = spark.sparkContext
+    return {
+        "docs_in": sc.accumulator(0),
+        "from_html": sc.accumulator(0),
+        "provided_text": sc.accumulator(0),
+        "empty_text": sc.accumulator(0),
+    }
+
+
+def resolve_text(pages: DataFrame, metrics: dict | None = None) -> DataFrame:
     """(url, warc_ts, html, text, ...) -> (url, warc_ts, text) where text =
     provided text if non-null else the frozen extractor over html.
 
@@ -65,10 +79,23 @@ def resolve_text(pages: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            texts = [
-                t if isinstance(t, str) and t is not None else extract_text(h)
-                for t, h in zip(pdf["text"], pdf["html"])
-            ]
+            texts = []
+            n_provided = 0
+            n_empty = 0
+            for t, h in zip(pdf["text"], pdf["html"]):
+                if isinstance(t, str) and t is not None:
+                    out = t
+                    n_provided += 1
+                else:
+                    out = extract_text(h)
+                if not out:
+                    n_empty += 1
+                texts.append(out)
+            if metrics is not None:
+                metrics["docs_in"] += len(pdf)
+                metrics["provided_text"] += n_provided
+                metrics["from_html"] += len(pdf) - n_provided
+                metrics["empty_text"] += n_empty
             yield pd.DataFrame(
                 {"url": pdf["url"], "warc_ts": pdf["warc_ts"], "text": texts}
             )

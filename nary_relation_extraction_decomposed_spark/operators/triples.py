@@ -152,11 +152,19 @@ def rejoin_triples(
             )
         )
 
+    # Skew-safe support counting for hot triples (popular entities at web
+    # scale): phase 1 dedups (triple, url) — the shuffle key includes url,
+    # so a hot triple's rows spread across reducers exactly like a salted
+    # key; phase 2 counts per triple with map-side partial aggregation
+    # (each partition contributes at most one partial row per triple).
     return (
-        pairs.groupBy(
+        pairs.select(
             F.col("subj_norm").alias("subj"),
             F.col("pred"),
             F.col("obj_norm").alias("obj"),
+            "url",
         )
-        .agg(F.countDistinct("url").alias("support"))
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("support"))
     )

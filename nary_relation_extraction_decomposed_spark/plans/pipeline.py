@@ -36,6 +36,7 @@ class PipelineConfig:
     # partitioning floor for Python-heavy stages (None -> 2x cores); see
     # operators/graph.py on why AQE byte-coalescing must not size these
     python_parallelism: int | None = None
+    collect_metrics: bool = False
 
 
 @dataclass
@@ -48,6 +49,7 @@ class PipelineResult:
     canon_map: DataFrame | None
     triples: DataFrame
     stages: dict[str, DataFrame] = field(default_factory=dict)
+    metrics: dict | None = None  # extraction accumulators (read after action)
 
 
 def run_pipeline_checkpointed(
@@ -127,7 +129,16 @@ def run_pipeline(
     clean = textprep.dedup_latest_per_url(
         textprep.filter_pages(pages, config.lang), num_partitions=width
     )
-    docs = textprep.resolve_text(clean)
+    metrics = (
+        textprep.make_extract_metrics(pages.sparkSession)
+        if config.collect_metrics else None
+    )
+    # persist: docs feeds both mention detection and sentence analysis —
+    # without it the extractor runs once per consumer (and task-level
+    # accumulator metrics would count recomputations; Spark accumulators in
+    # non-action stages can still overcount on task retries, the standard
+    # caveat — the checkpointed variant's manifest rows are exact)
+    docs = textprep.resolve_text(clean, metrics=metrics).persist()
 
     ments = M.detect_mentions(docs, gazetteer)
     sents = M.analyze_sentences(docs, list(config.pred_vocab))
@@ -149,4 +160,5 @@ def run_pipeline(
         subrels=subrels,
         canon_map=canon,
         triples=trips,
+        metrics=metrics,
     )
