@@ -60,7 +60,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         detect_mentions,
     )
     from nary_relation_extraction_decomposed_spark.operators.textprep import (
-        dedup_latest_per_url,
+        dedup_latest_text,
         filter_pages,
         resolve_text,
     )
@@ -89,8 +89,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     # persist() (not localCheckpoint) at DAG-reuse points: avoids paying a
     # hard materialization barrier per stage while still preventing
     # recomputation of the Python stages that feed multiple joins
-    docs = resolve_text(
-        dedup_latest_per_url(filter_pages(pages, "en"), num_partitions=width)
+    docs = dedup_latest_text(
+        resolve_text(filter_pages(pages, "en")), num_partitions=width
     ).persist()
     # ments/sents each feed only the fused graph stage now — no persist
     ments = detect_mentions(docs, _gaz_df(spark))

@@ -315,18 +315,22 @@ def compute_goldens(corpus: dict, max_path_len: int = 3) -> dict:
     rules = {(r["subrel_a"], r["subrel_b"]): (r["pred_a"], r["pred_b"])
              for r in corpus["pred_rules"]}
 
-    # filter lang=en + has content; dedup latest per url (ties: html len, text)
-    survivors: dict[str, dict] = {}
+    # Pipeline order (plans/pipeline.py): filter lang=en + has-content,
+    # EXTRACT text for every surviving row, then dedup latest per url on the
+    # extracted text (ties: warc_ts desc, text length desc, text desc).
+    resolved: list[dict] = []
     for p in pages:
         if p["lang"] != "en" or (p["text"] is None and p["html"] is None):
             continue
+        text = p["text"] if p["text"] is not None else extract_text(p["html"])
+        resolved.append({"url": p["url"], "warc_ts": p["warc_ts"], "text": text})
+    survivors: dict[str, dict] = {}
+    for p in resolved:
         cur = survivors.get(p["url"])
+
         def _key(row):
-            return (
-                row["warc_ts"],
-                len(row["html"]) if row["html"] is not None else -1,
-                row["text"] or "",
-            )
+            return (row["warc_ts"], len(row["text"]), row["text"])
+
         if cur is None or _key(p) > _key(cur):
             survivors[p["url"]] = p
 
@@ -337,8 +341,7 @@ def compute_goldens(corpus: dict, max_path_len: int = 3) -> dict:
     observed_surfaces: set[str] = set()
 
     for url in sorted(survivors):
-        p = survivors[url]
-        text = p["text"] if p["text"] is not None else extract_text(p["html"])
+        text = survivors[url]["text"]
         golden_text.append({"url": url, "text": text})
         ments = detect_mentions_in_text(text, gaz)
         for m in ments:

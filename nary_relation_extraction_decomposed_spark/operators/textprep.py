@@ -68,6 +68,28 @@ def make_extract_metrics(spark) -> dict:
     }
 
 
+def dedup_latest_text(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Latest-per-url dedup AFTER extraction, on (url, warc_ts, text) rows.
+
+    Preferred at scale: extraction is a map-only stage (no shuffle), so
+    running it first means the url shuffle moves extracted TEXT rather than
+    raw html (5-20x smaller on real web pages) at the cost of extracting
+    the ~ few % duplicate crawls too. Tie-break: warc_ts desc, then longer
+    text, then lexicographically larger text — deterministic."""
+    if num_partitions:
+        docs = docs.repartition(num_partitions, "url")
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(),
+        F.length(F.col("text")).desc_nulls_last(),
+        F.col("text").desc_nulls_last(),
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def resolve_text(pages: DataFrame, metrics: dict | None = None) -> DataFrame:
     """(url, warc_ts, html, text, ...) -> (url, warc_ts, text) where text =
     provided text if non-null else the frozen extractor over html.

@@ -77,10 +77,9 @@ def run_pipeline_checkpointed(
     )
     docs, fp_docs = ck.run_stage(
         "docs", cfg_fp,
-        lambda: textprep.resolve_text(
-            textprep.dedup_latest_per_url(
-                textprep.filter_pages(pages, config.lang), num_partitions=width
-            )
+        lambda: textprep.dedup_latest_text(
+            textprep.resolve_text(textprep.filter_pages(pages, config.lang)),
+            num_partitions=width,
         ),
     )
     ments, fp_m = ck.run_stage(
@@ -126,19 +125,20 @@ def run_pipeline(
     width = config.python_parallelism or (
         pages.sparkSession.sparkContext.defaultParallelism * 2
     )
-    clean = textprep.dedup_latest_per_url(
-        textprep.filter_pages(pages, config.lang), num_partitions=width
-    )
     metrics = (
         textprep.make_extract_metrics(pages.sparkSession)
         if config.collect_metrics else None
     )
-    # persist: docs feeds both mention detection and sentence analysis —
-    # without it the extractor runs once per consumer (and task-level
-    # accumulator metrics would count recomputations; Spark accumulators in
-    # non-action stages can still overcount on task retries, the standard
-    # caveat — the checkpointed variant's manifest rows are exact)
-    docs = textprep.resolve_text(clean, metrics=metrics).persist()
+    # Extract FIRST (map-only, html never shuffles), THEN dedup latest per
+    # url on text rows — at web scale html is 5-20x the text, so this keeps
+    # the wide shuffle small at the cost of extracting the few % duplicate
+    # crawls. persist: docs feeds both mention detection and sentence
+    # analysis (accumulator caveat: task retries can overcount; the
+    # checkpointed variant's manifest rows are exact).
+    resolved = textprep.resolve_text(
+        textprep.filter_pages(pages, config.lang), metrics=metrics
+    )
+    docs = textprep.dedup_latest_text(resolved, num_partitions=width).persist()
 
     ments = M.detect_mentions(docs, gazetteer)
     sents = M.analyze_sentences(docs, list(config.pred_vocab))
