@@ -36,15 +36,27 @@ def test_driver_path(spark):
     assert got == EXPECTED
 
 
-def test_distributed_path(spark):
+def test_star_contraction_path(spark):
     got = {
         r["node"]: r["comp"]
-        for r in connected_components(_edges(spark), driver_threshold=0).collect()
+        for r in connected_components(
+            _edges(spark), driver_threshold=0, algorithm="star"
+        ).collect()
     }
     assert got == EXPECTED
 
 
-def test_paths_agree_on_random_graph(spark):
+def test_minlabel_path(spark):
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            _edges(spark), driver_threshold=0, algorithm="minlabel"
+        ).collect()
+    }
+    assert got == EXPECTED
+
+
+def test_all_paths_agree_on_random_graph(spark):
     e = (
         spark.range(0, 3000)
         .select(
@@ -53,8 +65,25 @@ def test_paths_agree_on_random_graph(spark):
         )
         .filter((F.col("src") >= 0) & (F.col("dst") >= 0))
     )
-    a = {r["node"]: r["comp"]
-         for r in connected_components(e).collect()}
+    a = {r["node"]: r["comp"] for r in connected_components(e).collect()}
     b = {r["node"]: r["comp"]
-         for r in connected_components(e, driver_threshold=0).collect()}
-    assert a == b and len(a) > 100
+         for r in connected_components(e, driver_threshold=0, algorithm="star").collect()}
+    c = {r["node"]: r["comp"]
+         for r in connected_components(e, driver_threshold=0, algorithm="minlabel").collect()}
+    assert a == b == c and len(a) > 100
+
+
+def test_star_converges_on_long_chain(spark):
+    """A 400-node chain has diameter 399: min-label propagation cannot finish
+    in 20 rounds, star contraction must (O(log n))."""
+    n = 400
+    e = spark.range(0, n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            e, driver_threshold=0, algorithm="star", max_iter=20
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
