@@ -146,7 +146,7 @@ def main() -> None:
 
     run("er_canon", "canonicalize")
     run("rejoin_heavy", "rejoin_triples")
-    run("agg_q1", "agg_counts")
+    run("agg_q1", "agg_stats")
     run("minhash_dedup", "dedup_minhash")
     run("ann_topk", "ann_topk")
     run("win_session", "win_session")

@@ -228,7 +228,7 @@ GROUP BY 1, 2, 3
 @query("minhash_sig")
 def minhash_sig(spark, sf_dir):
     """MinHash signatures over surface shingles (xxhash64 family ->
-    rows-only; determinism + banding invariants in tests/test_er.py)."""
+    rows-only; determinism + banding invariants in tests/test_dedup_similarity.py)."""
     surfaces = _t(spark, sf_dir, "documents").select(
         F.lower(F.col("source")).alias("surface_norm")
     ).distinct()

@@ -259,37 +259,6 @@ SELECT n_name, r_name FROM nation JOIN region ON n_name < r_name
 
 # ------------------------------------------------------------- D. aggregates
 
-@query("agg_counts")
-def agg_counts(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-    )
-
-ORACLES["agg_counts"] = """
-SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_price
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-@query("agg_distinct")
-def agg_distinct(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_custs"),
-        F.count("*").alias("n_orders"),
-    )
-
-ORACLES["agg_distinct"] = """
-SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
-FROM orders GROUP BY o_orderpriority
-"""
-
-
 @query("agg_approx")
 def agg_approx(spark, sf_dir):
     """approx_count_distinct (HLL sketches differ across engines -> no
@@ -316,49 +285,81 @@ FROM orders GROUP BY o_orderpriority
 
 @query("agg_rollup")
 def agg_rollup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.rollup("lang", "source")
-        .agg(F.count("*").alias("n_docs"), F.grouping_id().cast("bigint").alias("gid"))
-        .select(
-            F.coalesce("lang", F.lit("ALL")).alias("lang"),
-            F.coalesce("source", F.lit("ALL")).alias("source"),
-            "n_docs",
-            "gid",
+    """Rollup + cube + grouping_id in ONE key (SURVEY §2 row 25; merged
+    round 2 so every oracle-bearing key fits the driver's 50-key window):
+    both grouping-set families tagged by `mode` and unioned — same partial
+    +final hash-agg physical shape, one shuffle each."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(grouped, mode):
+        return (
+            grouped.agg(
+                F.count("*").alias("n"),
+                F.grouping_id().cast("bigint").alias("gid"),
+            )
+            .select(
+                F.lit(mode).alias("mode"),
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "n",
+                "gid",
+            )
         )
+
+    return one(li.rollup("l_returnflag", "l_linestatus"), "rollup").unionByName(
+        one(li.cube("l_returnflag", "l_linestatus"), "cube")
     )
 
 ORACLES["agg_rollup"] = """
-SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-       count(*) AS n_docs,
-       CAST(grouping(lang) * 2 + grouping(source) AS BIGINT) AS gid
-FROM documents GROUP BY ROLLUP (lang, source)
+SELECT 'rollup' AS mode,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS mode,
+       coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
 @query("agg_stats")
 def agg_stats(spark, sf_dir):
+    """Hash aggregate + count-distinct + stats aggregates in ONE key
+    (SURVEY §2 rows 21, 22, 26; merged round 2 — one shuffle, partial agg
+    map-side, the distinct rewritten by Spark into a two-phase expand)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.groupBy("l_returnflag")
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count("*").alias("n_rows"),
             F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         )
         .select(
-            "l_returnflag", "min_qty", "max_qty", "n_rows", "sd_qty",
+            "l_returnflag", "l_linestatus", "n_rows", "n_orders",
+            "sum_qty", "sum_price", "min_qty", "max_qty", "sd_qty",
             F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
         )
     )
 
 ORACLES["agg_stats"] = """
-SELECT l_returnflag, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-       count(*) AS n_rows, round(stddev_samp(l_quantity), 4) AS sd_qty,
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
        round(round(sum(l_quantity), 2) / count(*), 6) AS avg_qty
-FROM lineitem GROUP BY l_returnflag
+FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -424,30 +425,48 @@ FROM events
 
 @query("win_topk")
 def win_topk(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
+    """Top-k per group + the whole rank family in ONE key (SURVEY §2
+    rows 28, 31; merged round 2): one window shuffle computes
+    row_number/rank/dense_rank/ntile/percent_rank/cume_dist, then the
+    row_number filter takes the per-group top-5."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return (
-        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 2)
-        .select("o_custkey", "o_orderkey", "rnk")
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .filter(F.col("rn") <= 5)
     )
 
 ORACLES["win_topk"] = """
-SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk
-FROM (SELECT o_custkey, o_orderkey,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) rnk
-      FROM orders) t
-WHERE rnk <= 2
+SELECT c_custkey, c_nationkey, rn, rnk, drnk, quartile, pr, cd
+FROM (SELECT c_custkey, c_nationkey,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)) t
+WHERE rn <= 5
 """
 
 
 # ----------------------------------------------------------- F. sorts/limits
 
-@query("sort_global")
-def sort_global(spark, sf_dir):
+@query("topk_global")
+def topk_global(spark, sf_dir):
+    """Global sort + limit + global top-k in ONE key (SURVEY §2 rows 32-34;
+    merged round 2). orderBy+limit compiles to TakeOrderedAndProject — no
+    full global sort is materialized."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
@@ -455,60 +474,41 @@ def sort_global(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
     )
 
-ORACLES["sort_global"] = """
+ORACLES["topk_global"] = """
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
 """
 
 
-@query("topk_global")
-def topk_global(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-        .limit(10)
-        .select("c_custkey", "c_acctbal")
-    )
-
-ORACLES["topk_global"] = """
-SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
-"""
-
-
 # -------------------------------------------------------------- G. set ops
 
-@query("set_union")
-def set_union(spark, sf_dir):
+@query("set_ops")
+def set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT in ONE key (SURVEY §2 rows 35-37; merged
+    round 2), each branch tagged by `op` so all three distinct physical
+    strategies (agg-dedup union, left-semi intersect, left-anti except)
+    land in one checked result."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.unionByName(s).distinct()
+    u = c.unionByName(s).distinct().select(F.lit("union").alias("op"), "nk")
+    i = c.intersect(s).select(F.lit("intersect").alias("op"), "nk")
+    x = (
+        c.distinct()
+        .exceptAll(s.distinct())
+        .select(F.lit("except").alias("op"), "nk")
+    )
+    return u.unionByName(i).unionByName(x)
 
-ORACLES["set_union"] = """
-SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier
-"""
-
-
-@query("set_intersect")
-def set_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
-    return c.intersect(s)
-
-ORACLES["set_intersect"] = """
-SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier
-"""
-
-
-@query("set_except")
-def set_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
-    return c.exceptAll(s)
-
-ORACLES["set_except"] = """
-SELECT DISTINCT c_nationkey AS nk FROM customer
-EXCEPT
-SELECT DISTINCT s_nationkey FROM supplier
+ORACLES["set_ops"] = """
+SELECT 'union' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'intersect' AS op, nk FROM
+  (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, nk FROM
+  (SELECT DISTINCT c_nationkey AS nk FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
 """
 
 
@@ -541,53 +541,6 @@ SELECT o_orderstatus,
        count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
 FROM orders GROUP BY o_orderstatus
-"""
-
-
-@query("agg_cube")
-def agg_cube(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("n"), F.grouping_id().cast("bigint").alias("gid"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
-            "n", "gid",
-        )
-    )
-
-ORACLES["agg_cube"] = """
-SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
-       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-       count(*) AS n,
-       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
-
-
-@query("win_rank_family")
-def win_rank_family(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-    )
-
-ORACLES["win_rank_family"] = """
-SELECT c_custkey,
-       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pr,
-       round(cume_dist() OVER w, 6) AS cd,
-       CAST(rank() OVER w AS BIGINT) AS rnk,
-       CAST(dense_rank() OVER w AS BIGINT) AS drnk
-FROM customer
-WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
 """
 
 

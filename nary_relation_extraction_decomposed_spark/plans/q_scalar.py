@@ -18,34 +18,24 @@ from .queries import query
 
 @query("str_norm")
 def str_norm(spark, sf_dir):
+    """String normalization + deterministic content-derived ids in ONE key
+    (SURVEY §2 rows 38-39; merged round 2). md5 is the cross-engine twin of
+    the pipeline's internal xxhash64 ids."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         normalize_surface_col(F.substring("text", 1, 50)).alias("norm"),
         F.lower(F.trim(F.col("source"))).alias("src_norm"),
         F.levenshtein(F.col("lang"), F.lit("en")).cast("bigint").alias("lang_dist"),
+        F.md5(F.concat_ws("/", "source", F.col("doc_id").cast("string"))).alias("row_md5"),
     )
 
 ORACLES["str_norm"] = """
 SELECT doc_id,
        trim(regexp_replace(lower(substr(text, 1, 50)), '[^a-z0-9]+', ' ', 'g')) AS norm,
        lower(trim(source)) AS src_norm,
-       CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_dist
-FROM documents
-"""
-
-
-@query("hash_ids")
-def hash_ids(spark, sf_dir):
-    """Deterministic content-derived ids (md5 twin; pipeline uses xxhash64)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.concat_ws("/", "source", F.col("doc_id").cast("string"))).alias("row_md5"),
-    )
-
-ORACLES["hash_ids"] = """
-SELECT doc_id, md5(source || '/' || CAST(doc_id AS VARCHAR)) AS row_md5
+       CAST(levenshtein(lang, 'en') AS BIGINT) AS lang_dist,
+       md5(source || '/' || CAST(doc_id AS VARCHAR)) AS row_md5
 FROM documents
 """
 

@@ -22,51 +22,36 @@ _DUCK_FR = r"len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|pour)\b'))
 _DUCK_PUNCT = "len(regexp_extract_all(lower(text), '[.,;:!?]'))"
 
 
-@query("lang_id")
-def lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", "lang", TM.lang_id_col(F.col("text")).alias("lang_pred"))
-
-ORACLES["lang_id"] = f"""
-SELECT doc_id, lang,
-  CASE WHEN {_DUCK_EN} >= {_DUCK_DE} AND {_DUCK_EN} >= {_DUCK_FR} AND {_DUCK_EN} > 0 THEN 'en'
-       WHEN {_DUCK_DE} >= {_DUCK_FR} AND {_DUCK_DE} > 0 THEN 'de'
-       WHEN {_DUCK_FR} > 0 THEN 'fr'
-       ELSE 'und' END AS lang_pred
-FROM documents
-"""
-
-
-@query("quality_score")
-def quality_score(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TM.quality_score_col(F.col("text")).alias("q_score"))
-
-ORACLES["quality_score"] = f"""
-SELECT doc_id,
-  round(least({_DUCK_TOKS} / 100.0, 1.0) * 0.5
-      + least({_DUCK_EN} * 5.0 / greatest({_DUCK_TOKS}, 1), 1.0) * 0.4
-      + (1 - least({_DUCK_PUNCT} * 1.0 / greatest({_DUCK_TOKS}, 1), 1.0)) * 0.1,
-    6) AS q_score
-FROM documents
-"""
-
-
-@query("token_count")
-def token_count(spark, sf_dir):
+@query("text_metrics")
+def text_metrics(spark, sf_dir):
+    """Language-ID + quality score + token counting in ONE key (merged
+    round 2 so every oracle-bearing key fits the driver's 50-key window) —
+    all pure JVM SQL expressions, single scan, no shuffle."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
+        "lang",
+        TM.lang_id_col(F.col("text")).alias("lang_pred"),
+        TM.quality_score_col(F.col("text")).alias("q_score"),
         TM.token_count_col(F.col("text")).alias("n_tokens"),
         TM.bpe_ish_count_col(F.col("text")).alias("n_bpe_ish"),
         F.length("text").cast("bigint").alias("n_chars_seen"),
     )
 
-ORACLES["token_count"] = f"""
-SELECT doc_id, CAST({_DUCK_TOKS} AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
-         AS n_bpe_ish,
-       CAST(length(text) AS BIGINT) AS n_chars_seen
+ORACLES["text_metrics"] = f"""
+SELECT doc_id, lang,
+  CASE WHEN {_DUCK_EN} >= {_DUCK_DE} AND {_DUCK_EN} >= {_DUCK_FR} AND {_DUCK_EN} > 0 THEN 'en'
+       WHEN {_DUCK_DE} >= {_DUCK_FR} AND {_DUCK_DE} > 0 THEN 'de'
+       WHEN {_DUCK_FR} > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred,
+  round(least({_DUCK_TOKS} / 100.0, 1.0) * 0.5
+      + least({_DUCK_EN} * 5.0 / greatest({_DUCK_TOKS}, 1), 1.0) * 0.4
+      + (1 - least({_DUCK_PUNCT} * 1.0 / greatest({_DUCK_TOKS}, 1), 1.0)) * 0.1,
+    6) AS q_score,
+  CAST({_DUCK_TOKS} AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+    AS n_bpe_ish,
+  CAST(length(text) AS BIGINT) AS n_chars_seen
 FROM documents
 """
 
@@ -126,7 +111,7 @@ WHERE round(len(list_intersect(a.grams, b.grams))
 @query("dedup_minhash")
 def dedup_minhash(spark, sf_dir):
     """MinHash-LSH dup candidates (xxhash64 family -> rows-only check;
-    recall/precision invariants live in tests/test_dedup.py)."""
+    recall/precision invariants live in tests/test_dedup_similarity.py)."""
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism * 2
     )
@@ -146,6 +131,13 @@ def dedup_simhash(spark, sf_dir):
 def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> metadata + stub features via
     mapInPandas (Python-side stub decode -> rows-only check; the pure-SQL
-    binary metadata twin is `binary_meta`)."""
+    binary metadata twin is `binary_meta`). The raw array<double> `feat`
+    column is projected through to_json for the driver's rows-only
+    canonicalizer (pandas sort_values dies on list cells); internal
+    consumers use extract_media_features directly for the raw arrays."""
     d = _t(spark, sf_dir, "documents")
-    return extract_media_features(media_from_documents(d), fake_decode=True)
+    feats = extract_media_features(media_from_documents(d), fake_decode=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "magic", "width", "height",
+        F.to_json("feat").alias("feat_json"),
+    )

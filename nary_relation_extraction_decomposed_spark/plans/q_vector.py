@@ -41,7 +41,7 @@ SELECT q_id, n_id, cosine, rank FROM ranked WHERE rank <= 5
 @query("ann_lsh")
 def ann_lsh(spark, sf_dir):
     """Random-hyperplane bucketed ANN (xxhash64-derived planes -> rows-only;
-    recall-vs-bruteforce asserted in tests/test_similarity.py)."""
+    recall-vs-bruteforce asserted in tests/test_dedup_similarity.py)."""
     em = _t(spark, sf_dir, "embeddings")
     q = em.filter(F.col("vec_id") < 5)
     return S.ann_topk_lsh(em, q, k=5, dim=64, n_planes=4, n_tables=8)

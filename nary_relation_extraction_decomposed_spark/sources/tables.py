@@ -44,7 +44,9 @@ def pages_from_documents(
 
     Deterministic: url and warc_ts are pure functions of doc_id; html is the
     UTF-8 rendering of the text in the same template the fixture generator
-    uses, so extract_text(html) == text byte-identically.
+    uses, so extract_text(html) == 'doc' || chr(10) || text byte-identically
+    (the extractor emits the <title> as a leading 'doc' line; empty/null
+    text yields just 'doc').
     """
     docs = load_table(spark, sf_dir, "documents")
     if num_partitions:

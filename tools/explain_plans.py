@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.01"
 CASES = [
     ("filter_lang", "predicate pushdown + column pruning reach the parquet scan"),
     ("join_broadcast", "dimension joins planned as BroadcastHashJoin"),
-    ("agg_counts", "partial (map-side) + final HashAggregate, whole-stage codegen"),
+    ("agg_stats", "partial (map-side) + final HashAggregate, whole-stage codegen"),
     ("rejoin_triples", "the decompose/rejoin equi-join shape"),
     ("win_topk", "window top-k: single shuffle on the partition key"),
     ("dedup_minhash", "explode + 64 min() aggregates stay in codegen"),
