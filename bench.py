@@ -6,7 +6,8 @@ and prints ONE JSON line:
 
 Headline mix = the engine's load-bearing paths:
   kg_pipeline   full extract->mentions->BFS->decompose->rejoin over pages
-  er_canon      MinHash-LSH + connected-components entity resolution
+  er_canon      MinHash-LSH + distributed star-CC entity resolution over
+                3*ER_FACTOR surfaces per doc (synthetic alias clusters)
   rejoin_heavy  the binary->triple equi-join at lineitem scale
   agg_q1        TPC-H-Q1-style wide aggregation
   minhash_dedup LSH near-dup candidates over documents
@@ -110,6 +111,44 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     return n_docs, n_triples
 
 
+ER_FACTOR = int(os.environ.get("SPARK_GRAFT_ER_FACTOR", "4"))
+
+
+def bench_er_canon(spark, sf_dir: str) -> int:
+    """Full MinHash-LSH -> verify -> distributed star-contraction CC ->
+    canonical-label ER over a deterministic synthetic surface corpus:
+    ER_FACTOR cores per document row, 3 alias variants per core (compact /
+    spaced / dashed — same compact form, so expected clusters are exactly
+    size 3). driver_threshold=0 forces the distributed CC path (the
+    size-adaptive default would solve this on the driver); star contraction
+    converges in O(log n) rounds. Returns n_surfaces for throughput."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.operators.er import canonical_map
+
+    width = spark.sparkContext.defaultParallelism
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    cores = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(ER_FACTOR - 1))).alias("i"), "doc_id"
+    ).select(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.col("i"))), 1, 10
+        ).alias("core")
+    )
+    surfaces = (
+        cores.select(F.col("core").alias("surface_norm"))
+        .union(cores.select(
+            F.concat(F.substring("core", 1, 5), F.lit(" "),
+                     F.substring("core", 6, 5)).alias("surface_norm")))
+        .union(cores.select(
+            F.concat(F.substring("core", 1, 3), F.lit("-"),
+                     F.substring("core", 4, 7)).alias("surface_norm")))
+    ).repartition(width * 2)
+    return canonical_map(
+        surfaces, cc_driver_threshold=0, cc_algorithm="star"
+    ).count()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -144,7 +183,10 @@ def main() -> None:
         QUERIES[qkey](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
 
-    run("er_canon", "canonicalize")
+    t = time.time()
+    extras["er_surfaces"] = bench_er_canon(spark, SF_DIR)
+    timings["er_canon"] = round(time.time() - t, 3)
+
     run("rejoin_heavy", "rejoin_triples")
     run("agg_q1", "agg_stats")
     run("minhash_dedup", "dedup_minhash")

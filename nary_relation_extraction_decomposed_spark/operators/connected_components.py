@@ -18,6 +18,8 @@ below is the only thing that would change.
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -35,13 +37,13 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
 
     Converged when the edge set is stable (checked by count + order-
     independent hash-sum; both must match). At convergence edges form stars
-    (node -> component-min root)."""
-    e = (
-        edges.select(F.col("u"), F.col("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    (node -> component-min root).
+
+    PRECONDITION: `edges` is already (u, v), self-loop-free, distinct, and
+    lineage-truncated (localCheckpoint) by the caller — every iteration and
+    the caller's node derivation re-reference it, and an unmaterialized
+    upstream DAG would be recomputed once per reference."""
+    e = edges
 
     def signature(df: DataFrame) -> tuple[int, int]:
         # order-independent set signature: count + XOR of row hashes
@@ -52,6 +54,7 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
+    converged = False
     sig = signature(e)
     for _ in range(max_iter):
         # ---- large star
@@ -84,8 +87,17 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
         new_sig = signature(e_next)
         e = e_next
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        warnings.warn(
+            f"star contraction did not converge within max_iter={max_iter} "
+            "rounds; returned component labels may be WRONG (raise max_iter "
+            "— star contraction needs only O(log n) rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return e  # star edges: (node, root)
 
 
@@ -109,10 +121,16 @@ def connected_components(
     deterministic and produce identical labels."""
     spark = edges.sparkSession
 
-    head = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
+    # Strategy preflight: probe size with a limited COUNT (early-stops the
+    # scan at threshold+1 rows, ships one long to the driver) and collect
+    # the edge rows only when the small path is actually taken. Collecting
+    # the probe directly would materialize up to `driver_threshold` Row
+    # objects on the driver even for a 10^12-edge input.
+    lim = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
         driver_threshold + 1
-    ).collect()
-    if len(head) <= driver_threshold:
+    )
+    if lim.count() <= driver_threshold:
+        head = lim.collect()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -138,9 +156,23 @@ def connected_components(
 
     if algorithm in ("auto", "star"):
         # large graphs: star contraction, O(log n) rounds on any shape
-        # (min-label propagation below needs O(diameter) rounds)
-        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        stars = _star_contraction(e, max_iter)
+        # (min-label propagation below needs O(diameter) rounds).
+        # ONE lineage truncation up front: node derivation + every
+        # contraction round re-reference the edge set, and without the
+        # checkpoint each reference would recompute the (possibly very
+        # expensive — e.g. MinHash-LSH) upstream DAG. This recompute was
+        # the round-1 `er_canon` anomaly: higher core counts made the
+        # replayed upstream strictly more expensive.
+        e = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        e_clean = (
+            e.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        stars = _star_contraction(e_clean, max_iter)
         all_nodes = (
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))
@@ -152,21 +184,25 @@ def connected_components(
             .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
         )
 
+    # truncate the upstream lineage ONCE — bidir + the node universe
+    # re-reference the edge set 4x and would otherwise recompute it 4x
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
     bidir = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
     )
     labels = (
-        bidir.select(F.col("u").alias("node"))
-        .union(edges.select(F.col(src).alias("node")))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             bidir.join(labels, bidir["v"] == labels["node"])
@@ -188,5 +224,15 @@ def connected_components(
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"min-label propagation did not converge within max_iter="
+            f"{max_iter} rounds; returned component labels may be WRONG "
+            "(label propagation needs O(diameter) rounds — raise max_iter "
+            "or use algorithm='star')",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

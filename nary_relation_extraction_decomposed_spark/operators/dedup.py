@@ -154,11 +154,19 @@ def simhash_signatures(df: DataFrame, id_col: str, text: Column) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, max_hamming: int = 8, band_bits: int = 16
+    sigs: DataFrame, max_hamming: int = 8, band_bits: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
-    hamming<=3 shares at least one exact band by pigeonhole at 4 bands),
-    verify exact hamming distance <= max_hamming via bit_count(xor)."""
+    """Near-dup pairs by SimHash: block on equal bit-bands, verify exact
+    hamming distance <= max_hamming via bit_count(xor).
+
+    Recall guarantee by pigeonhole: a pair within `max_hamming` differing
+    bits shares at least one exact band iff n_bands > max_hamming, so by
+    default band_bits = 64 // (max_hamming + 1) — e.g. max_hamming=8 ->
+    9 bands of 7 bits; max_hamming=3 -> 16-bit bands. Passing band_bits
+    explicitly trades recall (wider bands may miss pairs beyond the
+    64//band_bits - 1 guarantee) against candidate fan-out."""
+    if band_bits is None:
+        band_bits = max(64 // (max_hamming + 1), 1)
     bands = sigs.select(
         "id",
         "simhash",

@@ -15,42 +15,70 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.hashing import lsh_band_hashes_col, minhash_signature_col
-from ..functions.textnorm import JACCARD_THRESHOLD, shingles_col
+from ..functions.hashing import lsh_band_hashes_col
+from ..functions.textnorm import JACCARD_THRESHOLD, MINHASH_PERMS, shingles_col
 from .connected_components import connected_components
 
 MAX_BLOCK_SIZE = 64  # LSH buckets larger than this are skew-dropped
 
 
 def minhash_signatures(surfaces: DataFrame, col: str = "surface_norm") -> DataFrame:
-    """(surface_norm) -> (surface_norm, shingles array<string>, sig array<bigint>)."""
-    return (
-        surfaces.select(col)
-        .distinct()
-        .withColumn("shingles", shingles_col(F.col(col)))
-        .withColumn("sig", minhash_signature_col(F.col("shingles")))
+    """(surface_norm) -> (surface_norm, shingles array<string>, sig array<bigint>).
+
+    Formulated as explode + MINHASH_PERMS min() aggregates, then packed back
+    into the sig array: higher-order lambdas (array_min(transform(...))) are
+    INTERPRETED expressions, ~50x slower than this whole-stage-codegen shape
+    at corpus scale; values are bit-identical (same xxhash64(shingle, seed)
+    family, same min). Shuffle payload: MINHASH_PERMS longs per surface with
+    map-side partial aggregation. Shingles are recomputed in the final
+    select (pure function of the surface, one regexp per row)."""
+    distinct = surfaces.select(col).distinct()
+    grams = distinct.select(
+        F.col(col), F.explode(shingles_col(F.col(col))).alias("g")
+    )
+    nperms = MINHASH_PERMS
+    aggs = [F.min(F.xxhash64("g", F.lit(i))).alias(f"_h{i}") for i in range(nperms)]
+    wide = grams.groupBy(col).agg(*aggs)
+    return wide.select(
+        F.col(col),
+        shingles_col(F.col(col)).alias("shingles"),
+        F.array(*[F.col(f"_h{i}") for i in range(nperms)]).alias("sig"),
     )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, col: str = "surface_norm") -> DataFrame:
-    """Band the signatures, bucket-join within (band, bucket), emit candidate
-    pairs (a < b). Bucket-size cap bounds the quadratic blowup."""
+    """Band the signatures, bucket within (band, bucket), emit candidate
+    pairs (a < b). Bucket-size cap bounds the quadratic blowup.
+
+    ONE shuffle: groupBy (band, bucket) -> collect_list -> in-array pair
+    expansion with higher-order functions. The earlier self-join formulation
+    shuffled the banded rows twice AND recomputed the whole band-derivation
+    lineage once per join side; this shape aggregates members once and the
+    quadratic step never leaves the (size-capped, <= MAX_BLOCK_SIZE) bucket
+    array. collect_list is safe exactly because of that cap."""
     bands = sigs.select(
         F.col(col), F.explode(lsh_band_hashes_col(F.col("sig"))).alias("bb")
     ).select(col, "bb.band", "bb.bucket")
 
-    # Window-free size cap: aggregate bucket sizes once, keep only small ones.
-    sizes = bands.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
-    ok = bands.join(
-        sizes.filter(F.col("cnt") <= MAX_BLOCK_SIZE).select("band", "bucket"),
-        ["band", "bucket"],
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(col)).alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE)
+        )
     )
-    a = ok.select("band", "bucket", F.col(col).alias("a"))
-    b = ok.select("band", "bucket", F.col(col).alias("b"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -70,11 +98,18 @@ def verify_pairs(
     return pab.filter(jac >= F.lit(threshold)).select("a", "b")
 
 
-def canonical_map(surfaces: DataFrame, col: str = "surface_norm") -> DataFrame:
+def canonical_map(
+    surfaces: DataFrame,
+    col: str = "surface_norm",
+    cc_driver_threshold: int = 200_000,
+    cc_algorithm: str = "auto",
+) -> DataFrame:
     """Full ER: (surface_norm) -> (surface_norm, canonical).
 
     Surfaces that never pair stay their own canonical. Node ids for the CC
-    step are xxhash64(surface) — content-derived longs.
+    step are xxhash64(surface) — content-derived longs. cc_* kwargs pass
+    through to connected_components (cc_driver_threshold=0 forces the
+    distributed star-contraction path, e.g. for scaling benchmarks).
     """
     sigs = minhash_signatures(surfaces, col).localCheckpoint(eager=True)
     pairs = verify_pairs(lsh_candidate_pairs(sigs, col), sigs, col)
@@ -85,10 +120,16 @@ def canonical_map(surfaces: DataFrame, col: str = "surface_norm") -> DataFrame:
         .join(ids.withColumnRenamed(col, "b").withColumnRenamed("node", "dst"), "b")
         .select("src", "dst")
     )
-    comps = connected_components(edges)
+    comps = connected_components(
+        edges, driver_threshold=cc_driver_threshold, algorithm=cc_algorithm
+    )
 
-    labeled = ids.join(comps, ids["node"] == comps["node"], "left").select(
-        F.col(col), F.coalesce("comp", ids["node"]).alias("comp")
+    # labeled feeds BOTH the canonical pick and the final join — truncate
+    # its lineage so the pairs->edges->CC chain is computed once, not twice
+    labeled = (
+        ids.join(comps, ids["node"] == comps["node"], "left")
+        .select(F.col(col), F.coalesce("comp", ids["node"]).alias("comp"))
+        .localCheckpoint(eager=False)
     )
     canon = labeled.groupBy("comp").agg(F.min(col).alias("canonical"))
     return labeled.join(canon, "comp").select(col, "canonical")
