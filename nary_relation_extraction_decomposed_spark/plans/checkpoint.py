@@ -14,18 +14,29 @@ Each stage materializes to ``<root>/<stage>/data`` (parquet) and commits a
   leaves no manifest -> the stage reruns; a kill after -> the stage is
   skipped byte-identically (outputs are deterministic by construction:
   content-derived ids, explicit tie-breaks, no rand/monotonic ids).
-- ``input_fingerprint`` chains: fp(stage) = xxhash-like digest of
-  (parent fingerprints, stage name, config repr). Changing any upstream
-  config invalidates exactly the affected suffix of the DAG.
+- On a fingerprint-mismatch rebuild the stale manifest is DELETED before the
+  data overwrite starts, so a kill mid-rebuild can never leave a committed
+  manifest pointing at partially-rewritten data.
+- ``input_fingerprint`` chains: fp(stage) = digest of (parent fingerprints,
+  stage name, config repr). Changing any upstream config invalidates exactly
+  the affected suffix of the DAG.
 - Per-partition lineage = per-output-file row counts (files ARE the
   partition artifacts of the materialized stage).
+
+Manifests travel the HADOOP FILESYSTEM API — the same abstraction the
+parquet data goes through — so a checkpoint root of ``file:///...``,
+``hdfs://...`` or ``s3a://...`` behaves identically. (Round 1 used
+``os.path`` + local ``json.dump``; on a cluster checkpoint root that layer
+silently never matched and every stage recomputed.) Commit is
+create-temp + rename: atomic on HDFS/local; on S3 the rename is
+copy+delete, still leaving either no manifest or a complete one.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
+import posixpath
 import time
 from dataclasses import dataclass, field
 
@@ -43,6 +54,48 @@ def fingerprint(*parts: str) -> str:
     return h.hexdigest()[:16]
 
 
+class HadoopFS:
+    """Thin py4j wrapper over org.apache.hadoop.fs.FileSystem for the
+    driver-side manifest I/O (tiny JSON blobs; data volumes still go
+    through Spark readers/writers)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self._jvm = spark._jvm
+        jpath = self._jvm.org.apache.hadoop.fs.Path(root)
+        self.fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self.fs.exists(self._p(path)))
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        if self.exists(path):
+            self.fs.delete(self._p(path), recursive)
+
+    def read_text(self, path: str) -> str:
+        stream = self.fs.open(self._p(path))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        """create temp + rename; overwrite-safe (dest deleted first, rename
+        is the commit point)."""
+        tmp = path + ".tmp"
+        out = self.fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        self.delete(path)
+        self.fs.rename(self._p(tmp), self._p(path))
+
+
 @dataclass
 class StageCheckpointer:
     spark: SparkSession
@@ -50,9 +103,20 @@ class StageCheckpointer:
     enabled: bool = True
     stats: dict[str, dict] = field(default_factory=dict)
 
+    def __post_init__(self):
+        self._fs = HadoopFS(self.spark, self.root) if self.enabled else None
+
     def _paths(self, stage: str) -> tuple[str, str]:
-        d = os.path.join(self.root, stage)
-        return os.path.join(d, "data"), os.path.join(d, "manifest.json")
+        d = posixpath.join(self.root, stage)
+        return posixpath.join(d, "data"), posixpath.join(d, "manifest.json")
+
+    def _read_manifest(self, manifest_path: str) -> dict | None:
+        if not self._fs.exists(manifest_path):
+            return None
+        try:
+            return json.loads(self._fs.read_text(manifest_path))
+        except (ValueError, OSError):
+            return None  # torn/corrupt manifest == no manifest
 
     def run_stage(self, stage: str, input_fp: str, build):
         """Return (df, fingerprint). Skips the build when a committed
@@ -63,12 +127,15 @@ class StageCheckpointer:
             self.stats[stage] = {"skipped": False, "cached": False}
             return df, fp
         data_dir, manifest_path = self._paths(stage)
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                m = json.load(f)
-            if m.get("committed") and m.get("input_fingerprint") == fp:
-                self.stats[stage] = {"skipped": True, "manifest": m}
-                return self.spark.read.parquet(data_dir), fp
+        m = self._read_manifest(manifest_path)
+        if m is not None and m.get("committed") and m.get("input_fingerprint") == fp:
+            self.stats[stage] = {"skipped": True, "manifest": m}
+            return self.spark.read.parquet(data_dir), fp
+        if m is not None:
+            # stale manifest (fingerprint/engine mismatch): invalidate it
+            # BEFORE the data overwrite starts — a kill mid-rebuild must
+            # not leave a committed manifest over partially-rewritten data
+            self._fs.delete(manifest_path)
 
         t0 = time.time()
         df = build()
@@ -86,14 +153,13 @@ class StageCheckpointer:
             "n_rows": int(sum(r["rows"] for r in part_rows)),
             "wall_ms": int((time.time() - t0) * 1000),
             "partitions": [
-                {"file": os.path.basename(r["file"]), "rows": int(r["rows"])}
+                {"file": posixpath.basename(r["file"]), "rows": int(r["rows"])}
                 for r in sorted(part_rows, key=lambda r: r["file"])
             ],
             "committed": True,
         }
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, manifest_path)  # atomic commit
+        self._fs.write_text_atomic(
+            manifest_path, json.dumps(manifest, indent=1, sort_keys=True)
+        )
         self.stats[stage] = {"skipped": False, "manifest": manifest}
         return out, fp

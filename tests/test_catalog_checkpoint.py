@@ -38,6 +38,46 @@ def test_pages_table_layout_and_pruning(spark, tmp_path):
     assert pruned.count() > 0
 
 
+def test_checkpoint_manifest_file_scheme_and_stale_invalidation(spark, tmp_path):
+    """Manifests go through the Hadoop FS API: an explicit file:// checkpoint
+    root must behave identically to a bare local path (the same code path a
+    cluster takes with hdfs:///s3a://), and a kill mid-rebuild after a
+    fingerprint change must NOT leave the stale committed manifest behind."""
+    import pytest
+
+    from nary_relation_extraction_decomposed_spark.plans.checkpoint import (
+        StageCheckpointer,
+    )
+
+    root = "file://" + str(tmp_path / "ckpt_uri")
+    df = spark.range(100).withColumnRenamed("id", "n")
+
+    ck = StageCheckpointer(spark, root)
+    out1, fp1 = ck.run_stage("s", "corpus-v1", lambda: df)
+    assert out1.count() == 100 and not ck.stats["s"]["skipped"]
+
+    # same fingerprint -> skipped, identical rows
+    ck2 = StageCheckpointer(spark, root)
+    out2, fp2 = ck2.run_stage("s", "corpus-v1", lambda: df)
+    assert ck2.stats["s"]["skipped"] and fp2 == fp1
+    assert out2.count() == 100
+
+    # fingerprint-mismatch rebuild killed before the data write: the stale
+    # v1 manifest must already be invalidated, so a later v1 run REBUILDS
+    # (a trusting skip over partially-rewritten data would be corruption)
+    def boom():
+        raise RuntimeError("killed mid-rebuild")
+
+    ck3 = StageCheckpointer(spark, root)
+    with pytest.raises(RuntimeError, match="killed mid-rebuild"):
+        ck3.run_stage("s", "corpus-v2", boom)
+
+    ck4 = StageCheckpointer(spark, root)
+    out4, _ = ck4.run_stage("s", "corpus-v1", lambda: df)
+    assert not ck4.stats["s"]["skipped"], "stale manifest was trusted"
+    assert out4.count() == 100
+
+
 def test_triples_sink_partitioned_by_pred(spark, tmp_path, fixture_dir):
     path = str(tmp_path / "triples_tbl")
     golden = spark.read.parquet(os.path.join(fixture_dir, "golden_triples.parquet"))
