@@ -87,6 +87,97 @@ def binary_subrels(
     )
 
 
+def _canonicalize_and_support(
+    pairs: DataFrame, canon_map: DataFrame | None
+) -> DataFrame:
+    """(url, subj_norm, pred, obj_norm) -> (subj, pred, obj, support):
+    canonical labels via broadcast map, then skew-safe support counting for
+    hot triples (popular entities at web scale): phase 1 dedups
+    (triple, url) — the shuffle key includes url, so a hot triple's rows
+    spread across reducers exactly like a salted key; phase 2 counts per
+    triple with map-side partial aggregation (each partition contributes at
+    most one partial row per triple)."""
+    if canon_map is not None:
+        cm_s = broadcast(canon_map.select(
+            F.col("surface_norm").alias("subj_norm"), F.col("canonical").alias("subj_canon")))
+        cm_o = broadcast(canon_map.select(
+            F.col("surface_norm").alias("obj_norm"), F.col("canonical").alias("obj_canon")))
+        pairs = (
+            pairs.join(cm_s, "subj_norm", "left")
+            .join(cm_o, "obj_norm", "left")
+            .select(
+                "url",
+                F.coalesce("subj_canon", "subj_norm").alias("subj_norm"),
+                "pred",
+                F.coalesce("obj_canon", "obj_norm").alias("obj_norm"),
+            )
+        )
+    return (
+        pairs.select(
+            F.col("subj_norm").alias("subj"),
+            F.col("pred"),
+            F.col("obj_norm").alias("obj"),
+            "url",
+        )
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("support"))
+    )
+
+
+def rejoin_nary(
+    subrels: DataFrame,
+    slot_rules: DataFrame,
+    slots: list[str],
+    canon_map: DataFrame | None = None,
+) -> DataFrame:
+    """GENERALIZED binary -> n-ary rejoin for arity n = len(slots) + 1
+    (pivot + one entity per slot); the 3-ary rejoin_triples below is the
+    binary-rule-table specialization kept for compatibility.
+
+    An n-ary instance at (url, pivot_mid, pred) is any combination of one
+    accepted sub-relation per slot. The k slot frames are chain-equi-joined
+    on (url, pivot_mid, pred) — the SAME key the evidence stage already
+    shuffled by, so the k-1 joins reuse one partitioning end to end.
+    slot_rules(slot, pred, pred_out) is broadcast into each frame; inner
+    joins mean an instance is accepted only when EVERY slot's sentence
+    predicate has a rule. Each accepted instance emits one triple per slot:
+    (pivot_norm, pred_out_slot, other_norm_slot).
+    """
+    assert len(slots) >= 1
+    frames = []
+    for s in slots:
+        rules_s = broadcast(
+            slot_rules.filter(F.col("slot") == s).select(
+                "pred", F.col("pred_out").alias(f"pred_out_{s}")
+            )
+        )
+        base = subrels.filter(F.col("slot") == s)
+        cols = ["url", "pivot_mid", "pred", F.col("other_norm").alias(f"norm_{s}")]
+        if not frames:  # pivot_norm carried once (identical across slots)
+            cols.insert(2, F.col("pivot_norm"))
+        frames.append(base.select(*cols).join(rules_s, "pred"))
+
+    joined = frames[0]
+    for f in frames[1:]:
+        joined = joined.join(f, ["url", "pivot_mid", "pred"])
+
+    pairs = joined.select(
+        "url",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.col("pivot_norm").alias("subj_norm"),
+                    F.col(f"pred_out_{s}").alias("pred"),
+                    F.col(f"norm_{s}").alias("obj_norm"),
+                )
+                for s in slots
+            ])
+        ).alias("t"),
+    ).select("url", "t.subj_norm", "t.pred", "t.obj_norm")
+    return _canonicalize_and_support(pairs, canon_map)
+
+
 def rejoin_triples(
     subrels: DataFrame,
     pred_rules: DataFrame,
@@ -136,35 +227,4 @@ def rejoin_triples(
         ).alias("t"),
     ).select("url", "t.subj_norm", "t.pred", "t.obj_norm")
 
-    if canon_map is not None:
-        cm_s = broadcast(canon_map.select(
-            F.col("surface_norm").alias("subj_norm"), F.col("canonical").alias("subj_canon")))
-        cm_o = broadcast(canon_map.select(
-            F.col("surface_norm").alias("obj_norm"), F.col("canonical").alias("obj_canon")))
-        pairs = (
-            pairs.join(cm_s, "subj_norm", "left")
-            .join(cm_o, "obj_norm", "left")
-            .select(
-                "url",
-                F.coalesce("subj_canon", "subj_norm").alias("subj_norm"),
-                "pred",
-                F.coalesce("obj_canon", "obj_norm").alias("obj_norm"),
-            )
-        )
-
-    # Skew-safe support counting for hot triples (popular entities at web
-    # scale): phase 1 dedups (triple, url) — the shuffle key includes url,
-    # so a hot triple's rows spread across reducers exactly like a salted
-    # key; phase 2 counts per triple with map-side partial aggregation
-    # (each partition contributes at most one partial row per triple).
-    return (
-        pairs.select(
-            F.col("subj_norm").alias("subj"),
-            F.col("pred"),
-            F.col("obj_norm").alias("obj"),
-            "url",
-        )
-        .distinct()
-        .groupBy("subj", "pred", "obj")
-        .agg(F.count("*").alias("support"))
-    )
+    return _canonicalize_and_support(pairs, canon_map)

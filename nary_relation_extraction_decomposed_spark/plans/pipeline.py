@@ -25,6 +25,24 @@ from ..operators import er, graph, mentions as M, textprep, triples as T
 from ..operators.kernels import MAX_PATH_LEN
 
 
+def _rejoin(subrels, pred_rules, canon, config):
+    """Rejoin dispatch on the rule-table schema: a (slot, pred, pred_out)
+    table takes the GENERALIZED n-ary path (any arity = len(arg_slots)+1);
+    the legacy (subrel_a, subrel_b, pred_a, pred_b) binary-rule table takes
+    the 3-ary specialization."""
+    cols = set(pred_rules.columns)
+    if {"slot", "pred", "pred_out"} <= cols:
+        slots = [s for _, s in config.arg_slots]
+        return T.rejoin_nary(subrels, pred_rules, slots, canon)
+    if len(config.arg_slots) != 2:
+        raise ValueError(
+            f"arity {len(config.arg_slots) + 1} needs a (slot, pred, pred_out) "
+            f"rule table; the binary-rule table {sorted(cols)} only supports "
+            "slots (a, b)"
+        )
+    return T.rejoin_triples(subrels, pred_rules, canon)
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     pivot_type: str = "DRUG"
@@ -107,7 +125,7 @@ def run_pipeline_checkpointed(
         canon, fp_c = None, "nocanon"
     trips, _ = ck.run_stage(
         "triples", fingerprint(fp_sr, fp_c),
-        lambda: T.rejoin_triples(subrels, pred_rules, canon),
+        lambda: _rejoin(subrels, pred_rules, canon, config),
     )
     result = PipelineResult(
         docs=docs, mentions=ments, sentences=sents, evidence=ev,
@@ -150,7 +168,7 @@ def run_pipeline(
     subrels = T.subrels_from_evidence(ev)
 
     canon = er.canonical_map(ments.select("surface_norm")) if config.canonicalize else None
-    trips = T.rejoin_triples(subrels, pred_rules, canon)
+    trips = _rejoin(subrels, pred_rules, canon, config)
 
     return PipelineResult(
         docs=docs,

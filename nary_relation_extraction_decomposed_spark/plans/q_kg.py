@@ -225,6 +225,64 @@ GROUP BY 1, 2, 3
 """
 
 
+@query("rejoin_nary4")
+def rejoin_nary4(spark, sf_dir):
+    """The GENERALIZED n-ary rejoin (arity 4 = pivot + slots a/b/c) through
+    the REAL operator (operators/triples.rejoin_nary) on driver tables:
+    subrels derived from lineitem (slot = l_linenumber % 3), three slot
+    frames chain-equi-joined on (url, pivot_mid, pred), one triple emitted
+    per slot, support = distinct source urls."""
+    from ..operators.triples import rejoin_nary
+
+    li = _t(spark, sf_dir, "lineitem")
+    subrels = li.select(
+        F.col("l_orderkey").cast("string").alias("url"),
+        F.col("l_suppkey").cast("int").alias("pivot_mid"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("pivot_norm"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("other_norm"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("l_linenumber") % 3 + 1).cast("int"),
+        ).alias("slot"),
+        F.lit("links").alias("pred"),
+    )
+    rules = spark.createDataFrame(
+        [("a", "links", "links.a"), ("b", "links", "links.b"),
+         ("c", "links", "links.c")],
+        "slot string, pred string, pred_out string",
+    )
+    return rejoin_nary(subrels, rules, ["a", "b", "c"], canon_map=None)
+
+ORACLES["rejoin_nary4"] = """
+WITH s AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS url, l_suppkey AS pivot_mid,
+         'S' || CAST(l_suppkey AS VARCHAR) AS pivot_norm,
+         'P' || CAST(l_partkey AS VARCHAR) AS other_norm,
+         CASE l_linenumber % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS slot
+  FROM lineitem
+),
+a AS (SELECT url, pivot_mid, pivot_norm, other_norm FROM s WHERE slot = 'a'),
+b AS (SELECT url, pivot_mid, other_norm FROM s WHERE slot = 'b'),
+c AS (SELECT url, pivot_mid, other_norm FROM s WHERE slot = 'c'),
+inst AS (
+  SELECT a.url, a.pivot_norm,
+         a.other_norm AS na, b.other_norm AS nb, c.other_norm AS nc
+  FROM a
+  JOIN b ON a.url = b.url AND a.pivot_mid = b.pivot_mid
+  JOIN c ON a.url = c.url AND a.pivot_mid = c.pivot_mid
+),
+trip AS (
+  SELECT url, pivot_norm AS subj, 'links.a' AS pred, na AS obj FROM inst
+  UNION ALL
+  SELECT url, pivot_norm, 'links.b', nb FROM inst
+  UNION ALL
+  SELECT url, pivot_norm, 'links.c', nc FROM inst
+)
+SELECT subj, pred, obj, count(DISTINCT url) AS support
+FROM trip GROUP BY subj, pred, obj
+"""
+
+
 @query("minhash_sig")
 def minhash_sig(spark, sf_dir):
     """MinHash signatures over surface shingles (xxhash64 family ->

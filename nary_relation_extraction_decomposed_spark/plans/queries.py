@@ -45,6 +45,7 @@ KEY_ORDER = (
     "doc_graph_bfs",
     "decompose_nary",
     "rejoin_triples",
+    "rejoin_nary4",
     "conn_comp",
     "canonicalize",
     # --- streaming-window surface (rows 47-49, batch-window twins) ---

@@ -1,0 +1,133 @@
+"""Arity > 3: 4-ary relations (pivot + slots a, b, c) through the FULL
+pipeline — detection, fused graph/BFS evidence, decomposition, generalized
+rejoin — with P=R=1.0 against a hand-computed golden triple set."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+
+TS = datetime.datetime(2024, 1, 1)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(url, TS, None, text, "en") for url, text in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def _gaz(spark):
+    return spark.createDataFrame(
+        [
+            ("alpha", "E1", "PIV"),
+            ("beta", "E2", "A"),
+            ("gamma", "E3", "B"),
+            ("delta", "E4", "C"),
+        ],
+        "surface_norm string, ent_id string, ent_type string",
+    )
+
+
+CFG_4ARY = PipelineConfig(
+    pivot_type="PIV",
+    arg_slots=(("A", "a"), ("B", "b"), ("C", "c")),
+    pred_vocab=("links",),
+    canonicalize=False,
+)
+
+
+def _slot_rules(spark):
+    return spark.createDataFrame(
+        [("a", "links", "links.a"), ("b", "links", "links.b"),
+         ("c", "links", "links.c")],
+        "slot string, pred string, pred_out string",
+    )
+
+
+def test_4ary_pipeline_golden(spark):
+    """Golden by construction:
+    u1/u2: all three slots + predicate in one sentence -> full instance.
+    u3:    slot c absent -> NO instance (every slot must fill).
+    u4:    no predicate in the pivot sentence -> dropped.
+    u5:    slots split across adjacent sentences (BFS path_len 3 <= cap)
+           -> full instance.
+    Expected: exactly the 3 decomposed triples of the 4-ary instance,
+    support = |{u1, u2, u5}| = 3 each. P = R = 1.0.
+    """
+    pages = _pages(spark, [
+        ("u1", "alpha beta gamma delta links"),
+        ("u2", "alpha beta gamma delta links"),
+        ("u3", "alpha beta gamma links"),
+        ("u4", "alpha beta gamma delta"),
+        ("u5", "alpha beta links\ngamma delta"),
+    ])
+    res = run_pipeline(pages, _gaz(spark), _slot_rules(spark), CFG_4ARY)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in res.triples.collect()
+    }
+    want = {
+        ("alpha", "links.a", "beta", 3),
+        ("alpha", "links.b", "gamma", 3),
+        ("alpha", "links.c", "delta", 3),
+    }
+    assert got == want
+
+
+def test_4ary_multiple_slot_fillers_cross_product(spark):
+    """Two fillers for slot a in one doc -> two candidate 4-ary instances
+    (cross product per slot), but the decomposed TRIPLE set unions them."""
+    pages = _pages(spark, [("u1", "alpha beta beta gamma delta links")])
+    res = run_pipeline(pages, _gaz(spark), _slot_rules(spark), CFG_4ARY)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in res.triples.collect()
+    }
+    assert got == {
+        ("alpha", "links.a", "beta", 1),
+        ("alpha", "links.b", "gamma", 1),
+        ("alpha", "links.c", "delta", 1),
+    }
+
+
+def test_binary_rule_table_rejects_higher_arity(spark):
+    """The legacy (subrel_a, subrel_b) rule table only encodes slots (a, b);
+    using it with 3 arg slots must fail loudly, not silently drop slot c."""
+    pages = _pages(spark, [("u1", "alpha beta gamma delta links")])
+    legacy_rules = spark.createDataFrame(
+        [("links#a", "links#b", "links", "links.ctx")],
+        "subrel_a string, subrel_b string, pred_a string, pred_b string",
+    )
+    with pytest.raises(ValueError, match="arity 4"):
+        run_pipeline(pages, _gaz(spark), legacy_rules, CFG_4ARY).triples.count()
+
+
+def test_slot_rules_work_for_3ary_too(spark):
+    """The generalized path is schema-dispatched, not arity-dispatched: a
+    (slot, pred, pred_out) table with the default 2 arg slots runs the
+    n-ary rejoin and yields the per-slot decomposed triples."""
+    pages = _pages(spark, [("u1", "alpha beta gamma links")])
+    cfg = PipelineConfig(
+        pivot_type="PIV", arg_slots=(("A", "a"), ("B", "b")),
+        pred_vocab=("links",), canonicalize=False,
+    )
+    rules = spark.createDataFrame(
+        [("a", "links", "links.a"), ("b", "links", "links.b")],
+        "slot string, pred string, pred_out string",
+    )
+    res = run_pipeline(pages, _gaz(spark), rules, cfg)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in res.triples.collect()
+    }
+    assert got == {
+        ("alpha", "links.a", "beta", 1),
+        ("alpha", "links.b", "gamma", 1),
+    }
