@@ -41,6 +41,7 @@ def doc_graph_subrels(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
+    co_mention_edges: bool = False,
 ) -> DataFrame:
     """Fused evidence + decomposition attributes (EVIDENCE_SUBREL_SCHEMA).
 
@@ -104,7 +105,8 @@ def doc_graph_subrels(
             ]
             ms.sort(key=lambda m: m["mention_id"])
             by_mid = {m["mention_id"]: m for m in ms}
-            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len):
+            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
+                                  co_mention_edges):
                 pm = by_mid[r["pivot_mid"]]
                 pred = pred_of_sent.get(pm["sent_id"])
                 if isinstance(pred, float):  # pandas NaN for null preds
@@ -167,6 +169,7 @@ def doc_graph_evidence(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
+    co_mention_edges: bool = False,
 ) -> DataFrame:
     """Fast path: ONE shuffle (tagged union of mention+sentence rows,
     hash-partitioned and sorted by url), then mapInPandas with a pandas
@@ -220,7 +223,8 @@ def doc_graph_evidence(
                 )
             ]
             ms.sort(key=lambda m: m["mention_id"])
-            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len):
+            for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
+                                  co_mention_edges):
                 out["url"].append(url)
                 out["pivot_mid"].append(r["pivot_mid"])
                 out["other_mid"].append(r["other_mid"])
@@ -272,6 +276,7 @@ def doc_graph_evidence_cogroup(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
+    co_mention_edges: bool = False,
 ) -> DataFrame:
     """mentions (MENTIONS_SCHEMA) x sentences (SENTENCES_SCHEMA) cogrouped by
     url -> evidence rows (EVIDENCE_SCHEMA) for candidate (pivot, arg) pairs
@@ -302,7 +307,8 @@ def doc_graph_evidence_cogroup(
                 for r in m_pdf.itertuples()
             ]
             ms.sort(key=lambda m: m["mention_id"])
-            rows = bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len)
+            rows = bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
+                                  co_mention_edges)
         return pd.DataFrame(
             {
                 "url": pd.Series([url] * len(rows), dtype=object),

@@ -147,6 +147,7 @@ def bfs_evidence(
     pivot_type: str,
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
+    co_mention_edges: bool = False,
 ) -> list[dict]:
     """Per-document graph + BFS shortest-path evidence (replaces networkx).
 
@@ -156,18 +157,35 @@ def bfs_evidence(
     (pivot-typed mention, slot-typed mention) pairs whose shortest path has
     <= max_path_len edges. path = node-id list, sentence nodes 0..S-1,
     mention m -> node S + mention_id.
+
+    co_mention_edges=True additionally connects every mention pair sharing
+    a sentence directly (the coarse stand-in for the reference's richer
+    intra-sentential dependency edges): same-sentence evidence paths become
+    length 1 instead of 2. Because these shortcuts never span sentences,
+    the ACCEPTED pair set under max_path_len is unchanged — only the
+    evidence paths/lengths shift — so golden triple sets are identical
+    with the flag on or off (asserted in tests/test_graph_enrichment.py).
+    Default OFF: goldens are pinned to the base graph.
     """
     S = n_sents
     adj: list[list[int]] = [[] for _ in range(S + len(mentions))]
     for i in range(S - 1):  # sentence chain
         adj[i].append(i + 1)
         adj[i + 1].append(i)
+    by_sent: dict[int, list[int]] = {}
     for m in mentions:
         node = S + m["mention_id"]
         sent = m["sent_id"]
         if 0 <= sent < S:
             adj[node].append(sent)
             adj[sent].append(node)
+            by_sent.setdefault(sent, []).append(node)
+    if co_mention_edges:
+        for nodes in by_sent.values():
+            for i, u in enumerate(nodes):
+                for v in nodes[i + 1:]:
+                    adj[u].append(v)
+                    adj[v].append(u)
     for lst in adj:
         lst.sort()  # deterministic BFS neighbor order
 

@@ -51,6 +51,10 @@ class PipelineConfig:
     lang: str = "en"
     max_path_len: int = MAX_PATH_LEN
     canonicalize: bool = True
+    # same-sentence mention<->mention edges in the doc graph (coarse stand-in
+    # for the reference's dependency edges); OFF by default — goldens pin the
+    # base graph, and the accepted pair set is provably unchanged (kernels.py)
+    co_mention_edges: bool = False
     # partitioning floor for Python-heavy stages (None -> 2x cores); see
     # operators/graph.py on why AQE byte-coalescing must not size these
     python_parallelism: int | None = None
@@ -112,6 +116,7 @@ def run_pipeline_checkpointed(
         lambda: graph.doc_graph_subrels(
             ments, sents, config.pivot_type, list(config.arg_slots),
             config.max_path_len, num_partitions=width,
+            co_mention_edges=config.co_mention_edges,
         ),
     )
     subrels, fp_sr = ck.run_stage(
@@ -164,6 +169,7 @@ def run_pipeline(
     ev = graph.doc_graph_subrels(
         ments, sents, config.pivot_type, list(config.arg_slots),
         config.max_path_len, num_partitions=width,
+        co_mention_edges=config.co_mention_edges,
     )
     subrels = T.subrels_from_evidence(ev)
 
