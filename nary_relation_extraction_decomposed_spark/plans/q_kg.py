@@ -244,7 +244,10 @@ def rejoin_nary4(spark, sf_dir):
             F.array(F.lit("a"), F.lit("b"), F.lit("c")),
             (F.col("l_linenumber") % 3 + 1).cast("int"),
         ).alias("slot"),
-        F.lit("links").alias("pred"),
+        # data-derived (non-foldable) constant: a literal pred would be
+        # constant-folded out of the rule-join equi-condition and demote
+        # the broadcast HASH join to a nested-loop join in the plan
+        F.substring(F.concat(F.lit("links"), F.col("l_orderkey")), 1, 5).alias("pred"),
     )
     rules = spark.createDataFrame(
         [("a", "links", "links.a"), ("b", "links", "links.b"),

@@ -19,10 +19,14 @@ SF = "/root/testdata/sf0.01"
 CASES = [
     ("filter_lang", "predicate pushdown + column pruning reach the parquet scan"),
     ("join_broadcast", "dimension joins planned as BroadcastHashJoin"),
-    ("agg_stats", "partial (map-side) + final HashAggregate, whole-stage codegen"),
+    ("agg_stats", "partial (map-side) + final HashAggregate + distinct expand, whole-stage codegen"),
     ("rejoin_triples", "the decompose/rejoin equi-join shape"),
-    ("win_topk", "window top-k: single shuffle on the partition key"),
+    ("rejoin_nary4", "generalized arity-4 rejoin: rules joined via BroadcastHashJoin; the intermediate slot-join output keeps its (url, pivot_mid, pred) partitioning so the second slot join adds NO extra shuffle on that side"),
+    ("win_topk", "rank family + top-k: ONE window shuffle computes all six rank functions"),
+    ("topk_global", "orderBy+limit compiles to TakeOrderedAndProject, not a global sort"),
     ("dedup_minhash", "explode + 64 min() aggregates stay in codegen"),
+    ("salt_key", "two-phase skew aggregation: salted partial then merge"),
+    ("set_ops", "union/intersect/except as one plan: agg-dedup, left-semi, left-anti branches"),
 ]
 
 
