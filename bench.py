@@ -13,6 +13,7 @@ Headline mix = the engine's load-bearing paths:
   corpus_dedup  end-to-end exact + MinHash-LSH dedup over a replicated
                 corpus with planted exact/near duplicates
   ann_lsh       LSH-bucketed ANN, full table self-query + exact rerank
+  ann_ivf       IVF ANN (deterministic Lloyd index, n_probe lists)
   ann_topk      brute-force cosine top-k over embeddings
   win_session   session windows over events
 """
@@ -192,6 +193,17 @@ def bench_corpus_dedup(spark, sf_dir: str) -> tuple[int, int, int]:
     return n_docs, n_groups, n_cand
 
 
+def bench_ann_ivf(spark, sf_dir: str) -> int:
+    """IVF ANN at the same full-table self-query scale as ann_lsh: the
+    deterministic Lloyd index is built in-query, then each query probes
+    n_probe=2 of nlist=32 inverted lists (~6% of the corpus reranked
+    exactly). Returns result rows."""
+    from nary_relation_extraction_decomposed_spark.operators import similarity as S
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.ann_topk_ivf(em, em, k=5, nlist=32, n_probe=2).count()
+
+
 def bench_ann_lsh(spark, sf_dir: str) -> int:
     """LSH-bucketed ANN at a query scale the brute-force crossJoin path is
     NOT meant for: the whole embeddings table queries itself through the
@@ -284,6 +296,11 @@ def main() -> None:
         t = time.time()
         extras["ann_result_rows"] = bench_ann_lsh(spark, SF_DIR)
         timings["ann_lsh"] = round(time.time() - t, 3)
+
+        reset_between_entries()
+        t = time.time()
+        extras["ann_ivf_rows"] = bench_ann_ivf(spark, SF_DIR)
+        timings["ann_ivf"] = round(time.time() - t, 3)
 
         run("ann_topk", "ann_topk")
         run("win_session", "win_session")

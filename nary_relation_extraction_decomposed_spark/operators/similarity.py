@@ -145,6 +145,111 @@ def ann_topk_lsh(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    lloyd_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse index: deterministic k-means (seeds = nlist smallest ids,
+    `lloyd_iters` Lloyd rounds, all DataFrame ops) -> (centroids, lists).
+
+    centroids: (cid int, c_vec array<double>) — tiny, broadcast everywhere.
+    lists:     (cid, id, vec) — the corpus bucketed by nearest centroid
+               (the inverted lists; at scale this is the partitioned/
+               bucketed layout the index is stored in).
+
+    Determinism: seeds are content-chosen (smallest ids), assignment ties
+    break by cid, so the index is identical across runs/clusters — no
+    stored model, resume-safe."""
+    c = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+    )
+    # seed table is nlist rows — the single-partition window is trivial
+    seeds = (
+        c.orderBy("id")
+        .limit(nlist)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).cast("int").alias("cid"),
+            F.col("vec").alias("c_vec"),
+        )
+    )
+    centroids = seeds.localCheckpoint(eager=False)
+    for _ in range(lloyd_iters):
+        assigned = _assign_nearest(c, centroids)
+        # localCheckpoint per round: each centroid table is referenced by
+        # the next assignment AND the final lists/probes — unmaterialized
+        # iterative lineage would recompute the whole chain per reference
+        centroids = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c_vec"))
+            .localCheckpoint(eager=False)
+        )
+    lists = _assign_nearest(c, centroids).select("cid", "id", "vec")
+    return centroids, lists
+
+
+def _assign_nearest(
+    vecs: DataFrame, centroids: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids (by cosine,
+    ties -> smaller cid): broadcast the tiny centroid table, rank, filter."""
+    scored = vecs.crossJoin(broadcast(centroids)).select(
+        "id", "vec", "cid",
+        F.round(cosine_col(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .drop("_r", "sim")
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: queries probe their n_probe nearest coarse centroids and
+    rerank exactly ONLY within those inverted lists — the third ANN
+    strategy next to brute-force (exact, small query sets) and
+    hyperplane-LSH (hash-bucketed). Work per query ~ n_probe/nlist of the
+    corpus; recall rises with n_probe. The cid equi-join replaces the
+    crossJoin at scale; lists are the bucketed storage layout."""
+    centroids, lists = ivf_index(corpus, id_col, vec_col, nlist, lloyd_iters)
+    q = queries.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+    )
+    probes = _assign_nearest(q, centroids, n_probe=n_probe).select(
+        F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
+    )
+    cands = (
+        lists.join(broadcast(probes), "cid")
+        .filter(F.col("q_id") != F.col("id"))
+        .select(
+            "q_id",
+            F.col("id").alias("n_id"),
+            F.round(cosine_col(F.col("q_vec"), F.col("vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return cands.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
 def embed_near_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -107,6 +107,43 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert approx == approx2
 
 
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF ANN (deterministic Lloyd -> inverted lists -> n_probe search):
+    probing 2/16 of the corpus must still recover most exact neighbors on
+    random vectors, and the whole index+search is partitioning-invariant."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_topk_bruteforce(em, q, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_topk_ivf(em, q, k=5, nlist=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random vectors are the worst case for a coarse quantizer too; with
+    # n_probe=4 of nlist=16 (25% of the corpus scanned) expect >= 0.5
+    assert recall >= 0.5, recall
+    approx2 = {
+        (r["q_id"], r["n_id"])
+        for r in S.ann_topk_ivf(
+            em.repartition(7), q, k=5, nlist=16, n_probe=4
+        ).collect()
+    }
+    assert approx == approx2
+
+
+def test_ann_ivf_lists_partition_corpus(spark):
+    """The inverted lists are a PARTITION of the corpus (every vector in
+    exactly one list) and centroids stay nlist-sized."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids, lists = S.ivf_index(em, nlist=8, lloyd_iters=1)
+    assert centroids.count() == 8
+    assert lists.count() == em.count()
+    assert lists.select("id").distinct().count() == em.count()
+
+
 def test_centroids_sql_vs_pandas(spark):
     em = spark.read.parquet(f"{SF}/embeddings.parquet")
     sql_c = {
