@@ -42,3 +42,22 @@ def read_pages_style_table(spark: SparkSession, path: str) -> DataFrame:
 def write_triples_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Triples partitioned by predicate (low cardinality, query-pruned)."""
     df.write.mode(mode).partitionBy("pred").parquet(path)
+
+
+def write_table_v2(
+    df: DataFrame, table: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """DataFrameWriterV2 (`df.writeTo`) path — the exact API an Iceberg
+    catalog takes at deployment (then with `partitionedBy(days(ts),
+    bucket(n, key))` transforms and atomic `createOrReplace`). The sandbox
+    session catalog supports v2 writes with the parquet provider, identity
+    partitioning, and `create()` only — `createOrReplace`/transform
+    partitions need a V2 catalog jar — so this drops-then-creates and
+    partitions by pre-derived identity columns (write_pages_style_table
+    derives days/bucket equivalents as dt/kb columns)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.writeTo(table).using("parquet")
+    if partition_cols:
+        w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+    w.create()
