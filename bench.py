@@ -6,6 +6,8 @@ and prints ONE JSON line:
 
 Headline mix = the engine's load-bearing paths:
   kg_pipeline   full extract->mentions->BFS->decompose->rejoin over pages
+  kg_heavy      kg_pipeline over realistic multi-KB html (extractor-
+                dominated, text NULLed to force the html path)
   er_canon      MinHash-LSH + distributed star-CC entity resolution over
                 3*ER_FACTOR surfaces per doc (synthetic alias clusters)
   rejoin_heavy  the binary->triple equi-join at lineitem scale
@@ -114,6 +116,94 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     trips = rejoin_triples(sr, rules, canon_map=None)
     n_triples = trips.count()
     n_docs = docs.count()  # cached — near-free after the run
+    docs.unpersist()
+    return n_docs, n_triples
+
+
+HEAVY_REPL = int(os.environ.get("SPARK_GRAFT_HEAVY_REPL", "10"))
+
+_BOILER = (
+    "<div class=nav><ul>" + "".join(
+        f"<li><a href=/s/{i}>section {i} link text with several words</a></li>"
+        for i in range(12)
+    ) + "</ul></div>"
+    + "".join(
+        f"<p>Boilerplate paragraph {i}: navigation chrome, cookie banners, "
+        "footer text and related-article teasers make up most bytes of a "
+        "real crawled page; the extractor must scan and drop them all.</p>"
+        for i in range(18)
+    )
+)
+
+
+def bench_kg_heavy(spark, sf_dir: str) -> tuple[int, int]:
+    """kg_pipeline over REALISTIC page weights: text is NULLed so the frozen
+    extractor must parse multi-KB html (nav chrome + 18 boilerplate
+    paragraphs + the body, ~4KB/page vs ~200B in the light corpus) — the
+    compute profile of actual Common-Crawl pages, where extraction
+    dominates. Separate entry; kg_pipeline stays the round-comparable
+    headline. Returns (n_docs, n_triples)."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.operators.graph import (
+        doc_graph_subrels,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.mentions import (
+        analyze_sentences,
+        detect_mentions,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.textprep import (
+        dedup_latest_text,
+        filter_pages,
+        resolve_text,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.triples import (
+        rejoin_triples,
+        subrels_from_evidence,
+    )
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import PRED_WORDS, _gaz_df
+    from nary_relation_extraction_decomposed_spark.sources.tables import (
+        pages_from_documents,
+    )
+
+    width = spark.sparkContext.defaultParallelism
+    pages = pages_from_documents(spark, sf_dir, num_partitions=width)
+    if HEAVY_REPL > 1:
+        pages = pages.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(HEAVY_REPL - 1))).alias("_c")
+        ).select(
+            F.concat_ws("/", "url", "_c").alias("url"), "warc_ts", "html", "text", "lang"
+        )
+    heavy = pages.select(
+        "url", "warc_ts",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc</title></head><body>"),
+                F.lit(_BOILER),
+                F.lit("<p>"), F.coalesce(F.col("text"), F.lit("")),
+                F.lit("</p><div id=footer>&copy; corpus footer</div></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),  # force the html path
+        "lang",
+    )
+    docs = dedup_latest_text(
+        resolve_text(filter_pages(heavy, "en")), num_partitions=width
+    ).persist()
+    ments = detect_mentions(docs, _gaz_df(spark))
+    sents = analyze_sentences(docs, PRED_WORDS)
+    ev = doc_graph_subrels(
+        ments, sents, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
+    )
+    sr = subrels_from_evidence(ev)
+    rules = spark.createDataFrame(
+        [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
+        "subrel_a string, subrel_b string, pred_a string, pred_b string",
+    )
+    trips = rejoin_triples(sr, rules, canon_map=None)
+    n_triples = trips.count()
+    n_docs = docs.count()
     docs.unpersist()
     return n_docs, n_triples
 
@@ -276,6 +366,13 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "") != "kg":
+        reset_between_entries()
+        t = time.time()
+        hd, ht = bench_kg_heavy(spark, SF_DIR)
+        timings["kg_heavy"] = round(time.time() - t, 3)
+        extras["kg_heavy_docs"] = hd
+        extras["kg_heavy_docs_per_sec"] = round(hd / timings["kg_heavy"], 2)
+
         reset_between_entries()
         t = time.time()
         extras["er_surfaces"] = bench_er_canon(spark, SF_DIR)
