@@ -180,11 +180,17 @@ def ivf_index(
         assigned = _assign_nearest(c, centroids)
         # localCheckpoint per round: each centroid table is referenced by
         # the next assignment AND the final lists/probes — unmaterialized
-        # iterative lineage would recompute the whole chain per reference
+        # iterative lineage would recompute the whole chain per reference.
+        # Means via integer micro-unit sums, NOT avg(double): float sums
+        # are accumulation-order-dependent, so avg() would make centroids
+        # (and thus the whole index) partition-order-sensitive; quantized
+        # integer sums are exact and bit-identical on any partitioning.
+        q = F.round(F.col("v") * 1000000.0, 0).cast("bigint")
         centroids = (
             assigned.select("cid", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("m"))
+            .agg(F.sum(q).alias("s"), F.count("*").alias("n"))
+            .select("cid", "pos", (F.col("s") / (F.col("n") * 1000000.0)).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.transform("pm", lambda s: s["m"]).alias("c_vec"))

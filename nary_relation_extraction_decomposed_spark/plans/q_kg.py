@@ -310,14 +310,18 @@ def lsh_blocks(spark, sf_dir):
 
 @query("conn_comp")
 def conn_comp(spark, sf_dir):
-    """Iterative-join connected components on a customer-nation bipartite
-    graph; DuckDB twin = recursive transitive closure + min."""
+    """Connected components on a customer-nation bipartite graph via the
+    DISTRIBUTED large-star/small-star contraction path (driver_threshold=0
+    forces it — the size-adaptive default would solve this small input with
+    driver union-find, and the correctness row should certify the
+    distributed algorithm); DuckDB twin = recursive transitive closure +
+    min. Both strategies produce identical labels (pytest-asserted)."""
     c = _t(spark, sf_dir, "customer")
     edges = c.select(
         (F.col("c_custkey") + 2000000).alias("src"),
         (F.col("c_nationkey").cast("bigint") + 1000000).alias("dst"),
     )
-    return connected_components(edges)
+    return connected_components(edges, driver_threshold=0, algorithm="star")
 
 ORACLES["conn_comp"] = """
 WITH RECURSIVE bidir AS (
