@@ -44,6 +44,27 @@ def write_triples_table(df: DataFrame, path: str, mode: str = "overwrite") -> No
     df.write.mode(mode).partitionBy("pred").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "url",
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Hash-BUCKETED managed table (`bucketBy` + saveAsTable): the shuffle
+    amortizer for repeated per-key work at 100 TB. Two tables bucketed the
+    same way equi-join with NO Exchange on either side (asserted in
+    tests/test_catalog_checkpoint.py) — the bucket layout IS the shuffle,
+    paid once at write time; every later join/groupBy on the key reuses it.
+    The Iceberg equivalent is the bucket(n, key) partition transform."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").mode("overwrite").saveAsTable(table)
+
+
 def write_table_v2(
     df: DataFrame, table: str, partition_cols: tuple[str, ...] = ()
 ) -> None:

@@ -38,6 +38,30 @@ def test_pages_table_layout_and_pruning(spark, tmp_path):
     assert pruned.count() > 0
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two url-bucketed tables equi-joined on url: the executed plan must
+    contain NO Exchange (the bucket layout replaces the shuffle) while the
+    same join over plain parquet shuffles both sides."""
+    pages = pages_from_documents(spark, SF).limit(400).select("url", "lang", "warc_ts")
+    docs = pages.select("url", F.length("url").cast("bigint").alias("n"))
+    catalog.write_bucketed_table(pages, "pages_bkt", "url", 8, sort_col="url")
+    catalog.write_bucketed_table(docs, "docs_bkt", "url", 8, sort_col="url")
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("pages_bkt").join(spark.table("docs_bkt"), "url")
+            assert j.count() == 400
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bkt")
+        spark.sql("DROP TABLE IF EXISTS docs_bkt")
+
+
 def test_writeto_v2_identity_partitioned(spark):
     """The DataFrameWriterV2 (writeTo) branch actually executes in the
     sandbox: identity-partitioned parquet v2 create, readable back via the

@@ -1,0 +1,51 @@
+"""Streaming KG construction (foreachBatch over the batch pipeline):
+per-batch triple deltas, summed across batches, must equal the batch
+pipeline over the union corpus — the additivity contract of
+streaming/kg_stream.py (urls are disjoint across micro-batches)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+)
+from nary_relation_extraction_decomposed_spark.streaming import kg_stream as KS
+
+
+def test_streaming_triples_match_batch(spark, fixture_dir, tmp_path):
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 4 == 0)  # speed cap
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    cfg = PipelineConfig(canonicalize=False)
+
+    # two url-disjoint files -> two micro-batches (pmod, NOT %: xxhash64 is
+    # signed and % keeps the sign, which would drop the negative-hash urls
+    # from both halves)
+    src = str(tmp_path / "pages_in")
+    half = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(2))
+    pages.filter(half == 0).write.parquet(src, mode="overwrite")
+    pages.filter(half == 1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "triple_deltas")
+    KS.stream_pages_to_triples(
+        KS.read_pages_stream(spark, src, max_files=1),
+        gaz, rules, cfg, out, str(tmp_path / "ck"),
+    )
+
+    deltas = spark.read.parquet(out)
+    assert deltas.select("batch_id").distinct().count() >= 2
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.merge_triple_deltas(spark, out).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(pages, gaz, rules, cfg).triples.collect()
+    }
+    assert got == want and got
