@@ -145,6 +145,9 @@ def rejoin_nary(
     (pivot_norm, pred_out_slot, other_norm_slot).
     """
     assert len(slots) >= 1
+    # every slot frame filters the SAME subrels — truncate its lineage once
+    # or the (Python-heavy) upstream chain recomputes k times, once per side
+    subrels = subrels.localCheckpoint(eager=False)
     frames = []
     for s in slots:
         rules_s = broadcast(
@@ -188,6 +191,9 @@ def rejoin_triples(
     emit both triples of each accepted n-ary instance, canonicalize entity
     labels, and aggregate support = distinct source urls.
     """
+    # the a and b sides filter the SAME subrels — truncate its lineage once
+    # or the (Python-heavy) upstream chain recomputes twice, once per side
+    subrels = subrels.localCheckpoint(eager=False)
     a = subrels.filter(F.col("slot") == "a").select(
         "url", "pivot_mid", "pivot_norm", "pred",
         F.col("other_norm").alias("a_norm"),
