@@ -55,9 +55,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jac) within blocks by exact n-gram
     jaccard. Block column bounds the join fan-out."""
+    # self-join: both sides reference g — truncate once or the (regexp-
+    # heavy) gram derivation recomputes per side
     g = df.select(
         F.col(id_col).alias("id"), block.alias("blk"), word_ngrams_col(text, n).alias("grams")
-    )
+    ).localCheckpoint(eager=False)
     a = g.select(F.col("blk"), F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
     b = g.select(F.col("blk"), F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
@@ -102,21 +104,31 @@ def minhash_dup_candidates(
             for b in range(bands)
         ]
     )
+    # ONE shuffle: groupBy (band, bucket) -> collect_list -> in-array pair
+    # expansion; the earlier sizes-join + self-join referenced the banded
+    # rows 3x, recomputing the 64-agg MinHash upstream per reference. The
+    # size cap (LSH skew guard) bounds the collected array and the
+    # quadratic expansion identically to before.
     bands_df = sigs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
-    # size-cap fat buckets (LSH skew guard), deterministically
-    sizes = bands_df.groupBy("band", "bucket").agg(F.count("*").alias("cnt"))
-    ok = bands_df.join(
-        sizes.filter(F.col("cnt") <= MAX_BLOCK_SIZE).select("band", "bucket"),
-        ["band", "bucket"],
+    buckets = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE))
     )
-    a = ok.select("band", "bucket", F.col("id").alias("id_a"))
-    b = ok.select("band", "bucket", F.col("id").alias("id_b"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -183,7 +195,9 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key")
+    ).select("id", "simhash", "bb.band", "bb.key").localCheckpoint(eager=False)
+    # (lineage truncated above: the a/b self-join sides would otherwise
+    # recompute the 64-sum SimHash aggregation once per side)
     a = bands.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = bands.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -163,9 +163,11 @@ def ivf_index(
     Determinism: seeds are content-chosen (smallest ids), assignment ties
     break by cid, so the index is identical across runs/clusters — no
     stored model, resume-safe."""
+    # c is referenced by the seeds, every Lloyd assignment, AND the final
+    # lists — truncate once (the caller's corpus may be an expensive chain)
     c = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
-    )
+    ).localCheckpoint(eager=False)
     # seed table is nlist rows — the single-partition window is trivial
     seeds = (
         c.orderBy("id")
@@ -265,7 +267,10 @@ def embed_near_dup_pairs(
 ) -> DataFrame:
     """Blocked embedding-cosine near-dup pairs (id_a < id_b, cosine)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    g = df.select(F.col(id_col).alias("id"), block.alias("blk"), as_double(vec).alias("v"))
+    # self-join sides share g — truncate the lineage once
+    g = df.select(
+        F.col(id_col).alias("id"), block.alias("blk"), as_double(vec).alias("v")
+    ).localCheckpoint(eager=False)
     a = g.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = g.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (
