@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--nsalt", type=int, default=16)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-canonicalize", action="store_true")
+    ap.add_argument(
+        "--prev-triples", default=None,
+        help="previous snapshot (parquet): write only triples whose "
+             "(subj, pred, obj) is new vs it (left-anti incremental run)",
+    )
     args = ap.parse_args()
 
     from nary_relation_extraction_decomposed_spark.session import (
@@ -81,7 +86,17 @@ def main() -> None:
         result = run_pipeline(pages, gaz, rules, replace(config, collect_metrics=True))
         stage_stats = {}
 
-    write_triples_table(result.triples, os.path.join(args.output, "triples"))
+    out_triples = result.triples
+    n_prev = None
+    if args.prev_triples:
+        from nary_relation_extraction_decomposed_spark.operators.triples import (
+            new_triples,
+        )
+
+        prev = spark.read.parquet(args.prev_triples)
+        n_prev = prev.count()
+        out_triples = new_triples(out_triples, prev)
+    write_triples_table(out_triples, os.path.join(args.output, "triples"))
     n_triples = spark.read.parquet(os.path.join(args.output, "triples")).count()
     n_docs = result.docs.count()
     wall = time.time() - t0
@@ -89,6 +104,7 @@ def main() -> None:
         {k: v.value for k, v in result.metrics.items()} if result.metrics else {}
     )
     print(json.dumps({
+        "n_prev_triples": n_prev,
         "n_docs": n_docs,
         "n_triples": n_triples,
         "wall_sec": round(wall, 2),

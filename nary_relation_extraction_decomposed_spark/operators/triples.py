@@ -87,6 +87,18 @@ def binary_subrels(
     )
 
 
+def new_triples(current: DataFrame, previous: DataFrame) -> DataFrame:
+    """Incremental-run diff: triples in `current` whose (subj, pred, obj)
+    key is absent from the `previous` snapshot — LEFT ANTI join, so the
+    big current side streams against the (typically much smaller, often
+    broadcastable) previous key set and nothing is recomputed. Support
+    values come from the current run (a key that existed before is dropped
+    entirely; support-growth deltas are the delta-table pattern in
+    streaming/kg_stream.py instead)."""
+    prev_keys = previous.select("subj", "pred", "obj")
+    return current.join(prev_keys, ["subj", "pred", "obj"], "left_anti")
+
+
 def _canonicalize_and_support(
     pairs: DataFrame, canon_map: DataFrame | None
 ) -> DataFrame:

@@ -109,6 +109,32 @@ def test_binary_rule_table_rejects_higher_arity(spark):
         run_pipeline(pages, _gaz(spark), legacy_rules, CFG_4ARY).triples.count()
 
 
+def test_incremental_new_triples(spark):
+    """Incremental run: triples from a grown corpus diffed against the
+    previous snapshot = exactly the triples whose key did not exist."""
+    from nary_relation_extraction_decomposed_spark.operators.triples import (
+        new_triples,
+    )
+
+    old_pages = _pages(spark, [("u1", "alpha beta gamma delta links")])
+    grown = _pages(spark, [
+        ("u1", "alpha beta gamma delta links"),
+        ("u2", "alpha beta beta2 gamma delta links"),
+    ])
+    gaz2 = _gaz(spark).union(
+        spark.createDataFrame([("beta2", "E5", "A")], _gaz(spark).schema)
+    )
+    prev = run_pipeline(old_pages, gaz2, _slot_rules(spark), CFG_4ARY).triples
+    cur = run_pipeline(grown, gaz2, _slot_rules(spark), CFG_4ARY).triples
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in new_triples(cur, prev).collect()
+    }
+    # only the beta2 argument creates a brand-new key; everything else
+    # existed in the snapshot (support growth is not a "new" triple)
+    assert got == {("alpha", "links.a", "beta2", 1)}
+
+
 def test_slot_rules_work_for_3ary_too(spark):
     """The generalized path is schema-dispatched, not arity-dispatched: a
     (slot, pred, pred_out) table with the default 2 arg slots runs the
