@@ -18,7 +18,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from ..functions.hashing import lsh_band_hashes_col, minhash_signature_col
 from .er import MAX_BLOCK_SIZE
 
 TOKEN_RE = "[a-z0-9]+"

@@ -41,7 +41,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
 ENGINE_VERSION = 1
 

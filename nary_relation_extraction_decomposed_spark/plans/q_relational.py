@@ -13,7 +13,7 @@ Conventions for exact oracle agreement:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Window
 from pyspark.sql.functions import broadcast
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from ..functions.textnorm import normalize_surface_col, shingles_col
+from ..functions.textnorm import normalize_surface_col
 from .oracles import ORACLES
 from .common import _t
 from .queries import query
