@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument(
+        "--co-mention-edges", action="store_true",
+        help="add same-sentence mention<->mention edges to the doc graph "
+             "(dependency-edge stand-in; triple set is invariant, evidence "
+             "paths shorten)",
+    )
+    ap.add_argument(
         "--prev-triples", default=None,
         help="previous snapshot (parquet): write only triples whose "
              "(subj, pred, obj) is new vs it (left-anti incremental run)",
@@ -67,7 +73,10 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     gaz = spark.read.parquet(os.path.join(args.fixtures, "gazetteer.parquet"))
     rules = spark.read.parquet(os.path.join(args.fixtures, "pred_rules.parquet"))
-    config = PipelineConfig(canonicalize=not args.no_canonicalize)
+    config = PipelineConfig(
+        canonicalize=not args.no_canonicalize,
+        co_mention_edges=args.co_mention_edges,
+    )
 
     t0 = time.time()
     if args.checkpoint:

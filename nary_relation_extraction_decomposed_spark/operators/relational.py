@@ -88,3 +88,23 @@ def salted_count(
     salted = df.withColumn("_salt", salt_expr(salt_source, nsalt))
     partial = salted.groupBy(*group_cols, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(*group_cols).agg(F.sum("_c").alias("n"))
+
+
+def count_distinct_skewsafe(
+    df: DataFrame, group_cols: list[str], val_col: str
+) -> DataFrame:
+    """countDistinct(val) per group for SKEWED group keys, without ever
+    gathering a hot group on one reducer: phase 1 dedups (group, val) —
+    the shuffle key includes val, so a hot group's rows spread across
+    reducers exactly like a salted key, with no salt column to carry —
+    phase 2 counts per group with map-side partial aggregation (at most
+    one partial row per group per partition). This is the generic form of
+    the triple-support counter (operators/triples.py); a plain
+    groupBy(group).agg(countDistinct(val)) plans an expand + full shuffle
+    ON THE GROUP KEY, which a single hot domain at web scale overwhelms."""
+    return (
+        df.select(*group_cols, val_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_distinct"))
+    )

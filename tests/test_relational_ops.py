@@ -83,6 +83,26 @@ def test_topk_and_latest(spark):
     assert latest.count() == c.select("c_nationkey").distinct().count()
 
 
+def test_count_distinct_skewsafe_matches_plain_on_skew(spark):
+    """On a deliberately skewed key (one group holds ~90% of rows) the
+    two-phase distinct-then-count must equal countDistinct exactly."""
+    d = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 97).cast("string"))
+        ).alias("domain"),
+        (F.col("id") % 12345).alias("url_id"),
+    )
+    got = {
+        r["domain"]: r["n_distinct"]
+        for r in R.count_distinct_skewsafe(d, ["domain"], "url_id").collect()
+    }
+    want = {
+        r["domain"]: r["n"]
+        for r in d.groupBy("domain").agg(F.countDistinct("url_id").alias("n")).collect()
+    }
+    assert got == want and got["hot"] > 10_000
+
+
 def test_salted_count_matches_plain(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     got = {
