@@ -25,7 +25,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Large Arrow batches amortize the JVM<->Python boundary; each batch is
-    # still bounded so grouped-map state stays in memory.
+    # still bounded so grouped-map state stays in memory. Rows are also
+    # BYTES-capped by Spark 4's spark.sql.execution.arrow.maxBytesPerBatch
+    # (64MB default, left as-is) — load-bearing for the extractor stage,
+    # where 10k rows of real crawled html would otherwise be a ~1GB batch.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
