@@ -59,11 +59,10 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     import pyspark.sql.functions as F
 
     from nary_relation_extraction_decomposed_spark.operators.graph import (
-        doc_graph_subrels,
+        doc_graph_subrels_tagged,
     )
     from nary_relation_extraction_decomposed_spark.operators.mentions import (
-        analyze_sentences,
-        detect_mentions,
+        detect_and_analyze_tagged,
     )
     from nary_relation_extraction_decomposed_spark.operators.textprep import (
         dedup_latest_text,
@@ -75,7 +74,6 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         subrels_from_evidence,
     )
     from nary_relation_extraction_decomposed_spark.plans.q_kg import (
-        GAZ_WORDS,
         PRED_WORDS,
         _gaz_df,
     )
@@ -102,11 +100,12 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     docs = dedup_latest_text(
         resolve_text(filter_pages(pages, "en")), num_partitions=width
     ).persist()
-    # ments/sents each feed only the fused graph stage now — no persist
-    ments = detect_mentions(docs, _gaz_df(spark))
-    sents = analyze_sentences(docs, PRED_WORDS)
-    ev = doc_graph_subrels(
-        ments, sents, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
+    # FUSED path: detection + sentence analysis emit the tagged stream in
+    # ONE docs pass; the graph stage consumes it directly (equivalence vs
+    # the unfused operators pinned in tests/test_graph_enrichment.py)
+    tagged = detect_and_analyze_tagged(docs, _gaz_df(spark), PRED_WORDS)
+    ev = doc_graph_subrels_tagged(
+        tagged, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
     )
     sr = subrels_from_evidence(ev)
     rules = spark.createDataFrame(

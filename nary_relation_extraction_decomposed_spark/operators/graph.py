@@ -34,6 +34,12 @@ EVIDENCE_SUBREL_SCHEMA = (
 )
 
 
+TAGGED_SCHEMA = (
+    "url string, kind int, sent_id int, mention_id int, ent_type string, "
+    "surface_norm string, pred string"
+)
+
+
 def doc_graph_subrels(
     mentions: DataFrame,
     sentences: DataFrame,
@@ -52,34 +58,51 @@ def doc_graph_subrels(
     mentions/sentences (pred stays nullable; filter pred IS NOT NULL +
     subrel = pred#slot gives the decomposition, see triples.subrels_from_
     evidence). The binary->triple REJOIN is still DataFrame joins."""
-    if num_partitions is None:
-        num_partitions = mentions.sparkSession.sparkContext.defaultParallelism * 2
-
     import pyspark.sql.functions as F
 
-    tagged = (
-        sentences.select(
+    tagged = sentences.select(
+        "url",
+        F.lit(0).alias("kind"),
+        F.col("sent_id").cast("int").alias("sent_id"),
+        F.lit(None).cast("int").alias("mention_id"),
+        F.lit(None).cast("string").alias("ent_type"),
+        F.lit(None).cast("string").alias("surface_norm"),
+        F.col("pred"),
+    ).unionByName(
+        mentions.select(
             "url",
-            F.lit(0).alias("kind"),
+            F.lit(1).alias("kind"),
             F.col("sent_id").cast("int").alias("sent_id"),
-            F.lit(None).cast("int").alias("mention_id"),
-            F.lit(None).cast("string").alias("ent_type"),
-            F.lit(None).cast("string").alias("surface_norm"),
-            F.col("pred"),
+            F.col("mention_id").cast("int").alias("mention_id"),
+            "ent_type",
+            "surface_norm",
+            F.lit(None).cast("string").alias("pred"),
         )
-        .unionByName(
-            mentions.select(
-                "url",
-                F.lit(1).alias("kind"),
-                F.col("sent_id").cast("int").alias("sent_id"),
-                F.col("mention_id").cast("int").alias("mention_id"),
-                "ent_type",
-                "surface_norm",
-                F.lit(None).cast("string").alias("pred"),
-            )
-        )
-        .repartition(num_partitions, "url")
-        .sortWithinPartitions("url", "kind", "mention_id")
+    )
+    return doc_graph_subrels_tagged(
+        tagged, pivot_type, arg_slots, max_path_len, num_partitions,
+        co_mention_edges,
+    )
+
+
+def doc_graph_subrels_tagged(
+    tagged: DataFrame,
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+    num_partitions: int | None = None,
+    co_mention_edges: bool = False,
+) -> DataFrame:
+    """doc_graph_subrels over an ALREADY-TAGGED row stream (TAGGED_SCHEMA:
+    kind 0 = sentence rows, kind 1 = mention rows). This is the fusion
+    entry point: mentions.detect_and_analyze_tagged emits this shape in
+    ONE docs pass, so detection + sentence analysis + graph consume a
+    single Python crossing and a single url shuffle end to end."""
+    if num_partitions is None:
+        num_partitions = tagged.sparkSession.sparkContext.defaultParallelism * 2
+
+    tagged = tagged.repartition(num_partitions, "url").sortWithinPartitions(
+        "url", "kind", "mention_id"
     )
 
     cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",

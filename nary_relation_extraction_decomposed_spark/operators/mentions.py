@@ -99,6 +99,54 @@ def analyze_sentences(docs: DataFrame, pred_vocab: list[str]) -> DataFrame:
     return docs.select("url", "text").mapInPandas(batches, schema=SENTENCES_SCHEMA)
 
 
+def detect_and_analyze_tagged(
+    docs: DataFrame, gazetteer: DataFrame, pred_vocab: list[str]
+) -> DataFrame:
+    """FUSED mention detection + sentence analysis in ONE docs pass,
+    emitting the tagged row stream (graph.TAGGED_SCHEMA: kind 0 = sentence
+    rows with pred, kind 1 = mention rows) that doc_graph_subrels_tagged
+    consumes directly. Halves the Python crossings of the mentions+
+    sentences stages and removes their union — use when the caller needs
+    only the graph/decomposition downstream (the unfused operators remain
+    for consumers that need the full MENTIONS_SCHEMA, e.g. ER over
+    surface forms, or per-stage checkpointing)."""
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(build_gazetteer_index(gazetteer))
+    vocab = frozenset(pred_vocab)
+    cols = ["url", "kind", "sent_id", "mention_id", "ent_type",
+            "surface_norm", "pred"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = bc.value
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not isinstance(text, str):
+                    text = ""
+                for s in sentence_predicates(text, vocab):
+                    out["url"].append(url)
+                    out["kind"].append(0)
+                    out["sent_id"].append(s["sent_id"])
+                    out["mention_id"].append(None)
+                    out["ent_type"].append(None)
+                    out["surface_norm"].append(None)
+                    out["pred"].append(s["pred"])
+                if text:
+                    for m in detect_mentions_in_text(text, gaz):
+                        out["url"].append(url)
+                        out["kind"].append(1)
+                        out["sent_id"].append(m["sent_id"])
+                        out["mention_id"].append(m["mention_id"])
+                        out["ent_type"].append(m["ent_type"])
+                        out["surface_norm"].append(m["surface_norm"])
+                        out["pred"].append(None)
+            yield pd.DataFrame(out, columns=cols)
+
+    from .graph import TAGGED_SCHEMA
+
+    return docs.select("url", "text").mapInPandas(batches, schema=TAGGED_SCHEMA)
+
+
 def doc_sentence_counts(sentences: DataFrame) -> DataFrame:
     """(url, n_sents) from the sentence table — partial aggregation
     (map-side combine) is automatic for count()."""

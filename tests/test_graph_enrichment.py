@@ -52,6 +52,46 @@ def test_kernel_enriched_path_is_valid_and_deterministic():
     assert rows == bfs_evidence(2, MS, "DRUG", SLOTS, co_mention_edges=True)
 
 
+def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
+    """detect_and_analyze_tagged -> doc_graph_subrels_tagged (ONE docs pass,
+    one shuffle) must emit exactly the same evidence rows as the unfused
+    detect_mentions + analyze_sentences -> doc_graph_subrels path."""
+    from nary_relation_extraction_decomposed_spark.operators.graph import (
+        doc_graph_subrels,
+        doc_graph_subrels_tagged,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.mentions import (
+        analyze_sentences,
+        detect_and_analyze_tagged,
+        detect_mentions,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.textprep import (
+        dedup_latest_text,
+        filter_pages,
+        resolve_text,
+    )
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    docs = dedup_latest_text(resolve_text(filter_pages(pages, "en")))
+    slots = [("GENE", "a"), ("VARIANT", "b")]
+
+    unfused = doc_graph_subrels(
+        detect_mentions(docs, gaz), analyze_sentences(docs, ["inhibits",
+        "activates", "binds", "modulates"]), "DRUG", slots,
+    )
+    fused = doc_graph_subrels_tagged(
+        detect_and_analyze_tagged(docs, gaz, ["inhibits", "activates",
+        "binds", "modulates"]), "DRUG", slots,
+    )
+    cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
+            "other_norm", "slot", "pred", "path_len"]
+    a = {tuple(r) for r in unfused.select(*cols).collect()}
+    b = {tuple(r) for r in fused.select(*cols).collect()}
+    assert a == b and len(a) > 100
+
+
 def test_golden_triples_invariant_under_enrichment(spark, fixture_dir):
     pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
     pages = pages.filter(F.xxhash64("url") % 8 == 0)  # speed cap
