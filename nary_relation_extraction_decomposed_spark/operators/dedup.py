@@ -175,7 +175,15 @@ def simhash_near_pairs(
     default band_bits = 64 // (max_hamming + 1) — e.g. max_hamming=8 ->
     9 bands of 7 bits; max_hamming=3 -> 16-bit bands. Passing band_bits
     explicitly trades recall (wider bands may miss pairs beyond the
-    64//band_bits - 1 guarantee) against candidate fan-out."""
+    64//band_bits - 1 guarantee) against candidate fan-out.
+
+    Skew guard: same shape as every other pair generator here (ONE groupBy
+    on (band, key) -> size-capped member array -> in-array pair expansion).
+    A degenerate hot band — simhash=0 from empty/boilerplate docs is
+    GUARANTEED at web scale — previously equi-joined quadratically onto one
+    reducer; now buckets larger than MAX_BLOCK_SIZE are dropped
+    deterministically (the affected docs still pair through their other,
+    non-degenerate bands, identical to the MinHash-LSH recall trade)."""
     if band_bits is None:
         band_bits = max(64 // (max_hamming + 1), 1)
     bands = sigs.select(
@@ -194,16 +202,34 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.key").localCheckpoint(eager=False)
-    # (lineage truncated above: the a/b self-join sides would otherwise
-    # recompute the 64-sum SimHash aggregation once per side)
-    a = bands.select("band", "key", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = bands.select("band", "key", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("id", "simhash", "bb.band", "bb.key")
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter((F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("members"),
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

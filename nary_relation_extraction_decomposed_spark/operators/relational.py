@@ -101,9 +101,14 @@ def count_distinct_skewsafe(
     one partial row per group per partition). This is the generic form of
     the triple-support counter (operators/triples.py); a plain
     groupBy(group).agg(countDistinct(val)) plans an expand + full shuffle
-    ON THE GROUP KEY, which a single hot domain at web scale overwhelms."""
+    ON THE GROUP KEY, which a single hot domain at web scale overwhelms.
+    NULL vals are filtered first so the result matches countDistinct
+    exactly (count(*) over distinct rows would count NULL as a value);
+    the one remaining difference: a group whose vals are ALL NULL is
+    absent here, where countDistinct emits it with 0."""
     return (
         df.select(*group_cols, val_col)
+        .filter(F.col(val_col).isNotNull())
         .distinct()
         .groupBy(*group_cols)
         .agg(F.count("*").alias("n_distinct"))

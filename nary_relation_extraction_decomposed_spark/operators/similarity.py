@@ -242,8 +242,11 @@ def ann_topk_ivf(
     probes = _assign_nearest(q, centroids, n_probe=n_probe).select(
         F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
     )
+    # NO broadcast hint on probes: for small query sets AQE broadcasts them
+    # anyway, but a full-table self-query (the bench shape) would broadcast
+    # the whole corpus x n_probe to every executor — let the planner choose
     cands = (
-        lists.join(broadcast(probes), "cid")
+        lists.join(probes, "cid")
         .filter(F.col("q_id") != F.col("id"))
         .select(
             "q_id",

@@ -85,7 +85,10 @@ class HadoopFS:
 
     def write_text_atomic(self, path: str, text: str) -> None:
         """create temp + rename; overwrite-safe (dest deleted first, rename
-        is the commit point)."""
+        is the commit point). Hadoop FileSystem.rename reports many failure
+        modes (missing parent, cross-FS move, dest recreated) as a `false`
+        RETURN rather than an exception — unchecked, a manifest commit could
+        silently no-op and the stage would rerun forever; surface it."""
         tmp = path + ".tmp"
         out = self.fs.create(self._p(tmp), True)
         try:
@@ -93,7 +96,10 @@ class HadoopFS:
         finally:
             out.close()
         self.delete(path)
-        self.fs.rename(self._p(tmp), self._p(path))
+        if not self.fs.rename(self._p(tmp), self._p(path)):
+            raise IOError(
+                f"manifest commit failed: rename({tmp} -> {path}) returned false"
+            )
 
 
 @dataclass

@@ -48,7 +48,21 @@ def stream_pages_to_triples(
     """Drive the pages stream through the batch KG pipeline per micro-batch,
     appending (subj, pred, obj, support, batch_id) deltas; availableNow
     drains everything currently in the source and stops. Returns the
-    finished query."""
+    finished query.
+
+    Requires config.canonicalize=False: the additivity contract above only
+    holds for RAW surface triples — a per-micro-batch canonical map is
+    computed from that batch's surfaces alone, so canonical labels (min of
+    a smaller cluster) can differ per batch and from the union run,
+    silently breaking SUM(support) equality. Canonicalize at merge time
+    instead: build one canonical map over the union surfaces and apply it
+    to merge_triple_deltas' output."""
+    if config.canonicalize:
+        raise ValueError(
+            "stream_pages_to_triples requires PipelineConfig(canonicalize="
+            "False): per-batch canonical maps break delta additivity; "
+            "apply one shared canonical map after merge_triple_deltas"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):

@@ -82,6 +82,22 @@ def test_simhash_exact_dupes_identical_and_near(spark, docs_with_dupes):
     assert sum(1 for a, b in got if b == a + 200000) == 50
 
 
+def test_simhash_hot_band_is_capped(spark):
+    """Planted degenerate band (1k docs with simhash=0 — the empty/boiler-
+    plate case guaranteed at web scale): the pair generator must stay
+    bounded (bucket-size cap) instead of expanding ~500k pairs on one
+    reducer, while genuinely-near pairs in small buckets still come out."""
+    hot = [(i, 0) for i in range(1000)]
+    near = [(100001, 3 << 40), (100002, (3 << 40) | 1)]  # hamming 1
+    sigs = spark.createDataFrame(hot + near, "id bigint, simhash bigint")
+    got = D.simhash_near_pairs(sigs, max_hamming=8).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (100001, 100002) in pairs
+    # every hot-bucket pair was deterministically dropped, none leaked
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+    assert len(got) < 100
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     em = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = em.filter(F.col("vec_id") < 10)

@@ -103,6 +103,20 @@ def test_count_distinct_skewsafe_matches_plain_on_skew(spark):
     assert got == want and got["hot"] > 10_000
 
 
+def test_count_distinct_skewsafe_ignores_nulls(spark):
+    """countDistinct ignores NULLs; the two-phase form must too (it used to
+    count NULL as one extra distinct value per group containing one)."""
+    d = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("b", 2), ("c", 3)],
+        "grp string, v int",
+    )
+    got = {
+        r["grp"]: r["n_distinct"]
+        for r in R.count_distinct_skewsafe(d, ["grp"], "v").collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
 def test_salted_count_matches_plain(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     got = {

@@ -16,6 +16,19 @@ from nary_relation_extraction_decomposed_spark.plans.pipeline import (
 from nary_relation_extraction_decomposed_spark.streaming import kg_stream as KS
 
 
+def test_streaming_rejects_per_batch_canonicalize(spark, fixture_dir, tmp_path):
+    """Per-micro-batch canonical maps break delta additivity (labels are the
+    min of that BATCH's cluster, not the union's) — the entry point must
+    refuse rather than silently emit non-additive deltas."""
+    import pytest
+
+    with pytest.raises(ValueError, match="canonicalize"):
+        KS.stream_pages_to_triples(
+            None, None, None, PipelineConfig(canonicalize=True),
+            str(tmp_path / "o"), str(tmp_path / "c"),
+        )
+
+
 def test_streaming_triples_match_batch(spark, fixture_dir, tmp_path):
     pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
     pages = pages.filter(F.xxhash64("url") % 4 == 0)  # speed cap
