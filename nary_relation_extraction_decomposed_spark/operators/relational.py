@@ -14,6 +14,9 @@ from pyspark.sql import Column, DataFrame, Window
 from ..functions.hashing import salt_expr
 
 
+ASOF_RANK_MAX_PER_KEY = 64  # auto-dispatch: rank path only below this
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -22,13 +25,49 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     tie_breaker: str | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """For each left row, the single right row with the greatest right_ts
     <= left_ts (backward; 'forward' = smallest >=), within `on` groups.
+    Inner semantics: left rows with no eligible right row are dropped.
 
-    Composition: equi-join on `on` + ts inequality, then row_number pick.
-    Deterministic given a tie_breaker column. At scale prefer bucketing both
-    sides on `on` so the equi-join is co-located; AQE splits skewed keys."""
+    Two physical strategies, identical results:
+
+    - 'rank': equi-join on `on` + ts inequality, then row_number pick.
+      Fine when the right side is dictionary-sized per key, but the join
+      materializes every (left row x all earlier right rows) pair first —
+      a per-key QUADRATIC at web scale with long snapshot histories.
+    - 'sort': union both sides tagged, ONE window sort per key, carry the
+      last-seen right row forward (last_value ignorenulls). Work is
+      O((|L|+|R|) log) per key with no fan-out — the scale-safe form.
+    - 'auto': one lightweight count job estimates max right rows per key
+      (map-side partial agg, tiny shuffle) and picks 'rank' below
+      ASOF_RANK_MAX_PER_KEY, else 'sort'. Pass an explicit strategy to
+      skip the probe job.
+
+    Deterministic given a tie_breaker column (ties on right_ts resolve to
+    the greatest tie_breaker). At scale prefer bucketing both sides on
+    `on` so the shuffle is co-located; AQE splits skewed keys."""
+    if strategy == "auto":
+        mx = (
+            right.groupBy(on).agg(F.count("*").alias("_c"))
+            .agg(F.max("_c")).first()[0]
+        )
+        strategy = "rank" if (mx or 0) <= ASOF_RANK_MAX_PER_KEY else "sort"
+    if strategy == "rank":
+        return _asof_join_rank(
+            left, right, on, left_ts, right_ts, direction, tie_breaker
+        )
+    if strategy == "sort":
+        return _asof_join_sorted(
+            left, right, on, left_ts, right_ts, direction, tie_breaker
+        )
+    raise ValueError(f"unknown asof strategy {strategy!r}")
+
+
+def _asof_join_rank(
+    left, right, on, left_ts, right_ts, direction, tie_breaker
+) -> DataFrame:
     lcols = left.columns
     cond = (left[on] == right[on]) & (
         (right[right_ts] <= left[left_ts])
@@ -43,6 +82,62 @@ def asof_join(
         order.append(F.col(tie_breaker).desc())
     w = Window.partitionBy(*[F.col(c) for c in lcols]).orderBy(*order)
     return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _asof_join_sorted(
+    left, right, on, left_ts, right_ts, direction, tie_breaker
+) -> DataFrame:
+    """Sort-merge formulation: tag sides, one window per key ordered so
+    every left row is immediately preceded by its eligible right rows,
+    carry the latest right row forward as a struct, unpack.
+
+    Ordering proof sketch (backward): order by (ts ASC, side ASC[right=0
+    first], tie ASC); last(right_struct) before a left row = the right row
+    with max right_ts <= left_ts (equality included because right sorts
+    before left at equal ts), ties resolved to max tie_breaker (last in
+    ASC tie order) — exactly the rank path's (ts DESC, tie DESC) pick."""
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on]
+    clash = set(rcols) & set(lcols)
+    if clash:
+        raise ValueError(f"asof 'sort' strategy needs disjoint columns: {clash}")
+
+    l_tag = left.filter(F.col(left_ts).isNotNull()).select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*rcols).alias("_r"),
+    )
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    order = [ts_ord, F.col("_side").asc()]
+    if tie_breaker:
+        order.append(F.col("_r")[tie_breaker].asc_nulls_first())
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("_match").isNotNull())
+    )
+    return carried.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col("_match")[c].alias(c) for c in rcols],
+    )
 
 
 def interval_overlap_join(

@@ -210,8 +210,11 @@ WHERE a.o_orderkey < b.o_orderkey
 @query("join_asof")
 def join_asof(spark, sf_dir):
     """As-of join: latest event at-or-before each order's synthetic 2024
-    timestamp for the order's user bucket. Equi-join + windowed pick —
-    the classic Spark as-of composition (no native ASOF operator)."""
+    timestamp for the order's user bucket, through the SORT-based operator
+    (union sides -> one window per key -> last_value carry-forward) — the
+    scale-safe formulation; the rank path is cross-checked in pytest."""
+    from ..operators.relational import asof_join
+
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 150).alias("uk"),
@@ -220,14 +223,11 @@ def join_asof(spark, sf_dir):
             + F.make_interval(secs=(F.col("o_orderkey") % 2592000).cast("double"))
         ).alias("ts_o"),
     )
-    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    j = o.join(e, (o["uk"] == e["user_id"]) & (e["ts"] <= o["ts_o"]))
-    w = Window.partitionBy("o_orderkey").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_orderkey", "event_id", "ts")
-    )
+    e = _t(spark, sf_dir, "events").select("event_id", F.col("user_id").alias("uk"), "ts")
+    return asof_join(
+        o, e, on="uk", left_ts="ts_o", right_ts="ts",
+        tie_breaker="event_id", strategy="sort",
+    ).select("o_orderkey", "event_id", "ts")
 
 ORACLES["join_asof"] = """
 WITH o AS (

@@ -46,6 +46,59 @@ def test_asof_join_backward(spark):
         assert (r["ts"], r["event_id"]) == best
 
 
+def test_asof_sort_equals_rank(spark):
+    """The sort-based carry-forward formulation must reproduce the rank
+    path exactly (both directions, with ties on right_ts)."""
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 150).alias("user_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-15 00:00:00"))
+                + F.make_interval(secs=(F.col("o_orderkey") % 1000000).cast("double"))
+            ).alias("ts_o"),
+        )
+        .limit(300)
+    )
+    events = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    for direction in ("backward", "forward"):
+        a = R.asof_join(orders, events, "user_id", "ts_o", "ts",
+                        direction=direction, tie_breaker="event_id",
+                        strategy="rank")
+        b = R.asof_join(orders, events, "user_id", "ts_o", "ts",
+                        direction=direction, tie_breaker="event_id",
+                        strategy="sort")
+        ra = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+        rb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+        assert ra == rb and ra, direction
+
+
+def test_asof_sort_survives_long_history_key(spark):
+    """10k snapshots on ONE key: the rank path would materialize ~left x
+    right/2 pairs (quadratic per key); the sort path is one window pass.
+    Also pins auto-dispatch: a long-history right side routes to 'sort'."""
+    left = spark.range(0, 2000).select(
+        F.lit("k").alias("k"), F.col("id").alias("lid"),
+        (F.col("id") * 5 + 3).alias("lts"),
+    )
+    right = spark.range(0, 10_000).select(
+        F.lit("k").alias("k"), F.col("id").alias("rid"),
+        F.col("id").alias("rts"),
+    )
+    got = R.asof_join(left, right, "k", "lts", "rts",
+                      tie_breaker="rid", strategy="sort").collect()
+    assert len(got) == 2000
+    for r in got:
+        assert r["rts"] == r["lts"] and r["rid"] == r["lts"]  # exact floor hit
+    # auto picks the sort path for this shape (>64 rows/key)
+    auto = R.asof_join(left.limit(50), right, "k", "lts", "rts",
+                       tie_breaker="rid", strategy="auto")
+    assert auto.count() == 50
+
+
 def test_interval_overlap_join(spark):
     o = spark.read.parquet(f"{SF}/orders.parquet").select(
         "o_custkey", "o_orderkey",
