@@ -301,10 +301,28 @@ def generate_pages(n_pages: int = 2000, seed: int = SEED) -> dict:
 
 # --------------------------------------------------------------- goldens ----
 
-def compute_goldens(corpus: dict, max_path_len: int = 3) -> dict:
+def compute_goldens(
+    corpus: dict,
+    max_path_len: int = 3,
+    co_mention_edges: bool = True,
+    token_window: int | None = None,
+) -> dict:
     """Plain-Python reference run over the generated pages: returns dicts of
     golden_text, golden_mentions, golden_evidence, golden_triples,
-    golden_clusters — the exact semantics the Spark pipeline must reproduce."""
+    golden_clusters — the exact semantics the Spark pipeline must reproduce.
+
+    Enrichment params mirror kernels.bfs_evidence; token_window=None here
+    means "use the kernel default" (the committed goldens are generated at
+    the engine defaults — co-mention + TOKEN_WINDOW proximity edges ON).
+    Pass co_mention_edges=False, token_window=-1 to simulate the BASE
+    graph (used by tools/enrichment_delta.py to measure the P/R shift)."""
+    from nary_relation_extraction_decomposed_spark.operators.kernels import (
+        TOKEN_WINDOW,
+    )
+
+    if token_window is None:
+        token_window = TOKEN_WINDOW
+    tw = None if (token_window is not None and token_window < 0) else token_window
     pages = corpus["pages"]
     gaz_latest: dict[str, tuple[str, str]] = {}
     for r in corpus["gazetteer"]:
@@ -351,7 +369,11 @@ def compute_goldens(corpus: dict, max_path_len: int = 3) -> dict:
             observed_surfaces.add(m["surface_norm"])
         sents = sentence_predicates(text, frozenset(PRED_VOCAB))
         n_sents = len(sents)
-        ev = bfs_evidence(n_sents, ments, PIVOT_TYPE, list(ARG_SLOTS), max_path_len)
+        ev = bfs_evidence(
+            n_sents, ments, PIVOT_TYPE, list(ARG_SLOTS), max_path_len,
+            co_mention_edges=co_mention_edges, token_window=tw,
+            sent_tok_counts=[s["n_tokens"] for s in sents],
+        )
         for r in ev:
             golden_evidence.append(
                 {"url": url, "m1": r["pivot_mid"], "m2": r["other_mid"],

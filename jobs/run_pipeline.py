@@ -36,10 +36,20 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument(
-        "--co-mention-edges", action="store_true",
-        help="add same-sentence mention<->mention edges to the doc graph "
-             "(dependency-edge stand-in; triple set is invariant, evidence "
-             "paths shorten)",
+        "--base-graph", action="store_true",
+        help="disable the default doc-graph enrichment (same-sentence "
+             "co-mention edges + adjacent-sentence token-window proximity "
+             "edges) and run the sentence-chain base graph only",
+    )
+    ap.add_argument(
+        "--token-window", type=int, default=None,
+        help="cross-boundary token gap for proximity edges (default: "
+             "kernels.TOKEN_WINDOW; ignored with --base-graph)",
+    )
+    ap.add_argument(
+        "--no-fused", action="store_true",
+        help="run detection and sentence analysis as separate passes "
+             "instead of the fused single-crossing tagged stream",
     )
     ap.add_argument(
         "--prev-triples", default=None,
@@ -73,9 +83,19 @@ def main() -> None:
     pages = spark.read.parquet(pages_path)
     gaz = spark.read.parquet(os.path.join(args.fixtures, "gazetteer.parquet"))
     rules = spark.read.parquet(os.path.join(args.fixtures, "pred_rules.parquet"))
+    from nary_relation_extraction_decomposed_spark.operators.kernels import (
+        TOKEN_WINDOW,
+    )
+
     config = PipelineConfig(
         canonicalize=not args.no_canonicalize,
-        co_mention_edges=args.co_mention_edges,
+        co_mention_edges=not args.base_graph,
+        token_window=(
+            None if args.base_graph
+            else (args.token_window if args.token_window is not None
+                  else TOKEN_WINDOW)
+        ),
+        fused=not args.no_fused,
     )
 
     t0 = time.time()

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .kernels import MAX_PATH_LEN, bfs_evidence
+from .kernels import MAX_PATH_LEN, TOKEN_WINDOW, bfs_evidence
 
 EVIDENCE_SCHEMA = (
     "url string, pivot_mid int, other_mid int, slot string, "
@@ -34,9 +34,14 @@ EVIDENCE_SUBREL_SCHEMA = (
 )
 
 
+# kind 0 = sentence rows (n_tokens, pred set), kind 1 = FULL mention rows
+# (every MENTIONS_SCHEMA column) — wide enough that mentions_view /
+# sentences_view recover the unfused frames by filter+project, so ONE
+# Python crossing serves graph, ER, and result surfaces
 TAGGED_SCHEMA = (
-    "url string, kind int, sent_id int, mention_id int, ent_type string, "
-    "surface_norm string, pred string"
+    "url string, kind int, sent_id int, mention_id int, ent_id string, "
+    "ent_type string, surface string, surface_norm string, begin int, "
+    "end int, tok_begin int, tok_end int, n_tokens int, pred string"
 )
 
 
@@ -47,7 +52,8 @@ def doc_graph_subrels(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
-    co_mention_edges: bool = False,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
 ) -> DataFrame:
     """Fused evidence + decomposition attributes (EVIDENCE_SUBREL_SCHEMA).
 
@@ -65,8 +71,15 @@ def doc_graph_subrels(
         F.lit(0).alias("kind"),
         F.col("sent_id").cast("int").alias("sent_id"),
         F.lit(None).cast("int").alias("mention_id"),
+        F.lit(None).cast("string").alias("ent_id"),
         F.lit(None).cast("string").alias("ent_type"),
+        F.lit(None).cast("string").alias("surface"),
         F.lit(None).cast("string").alias("surface_norm"),
+        F.lit(None).cast("int").alias("begin"),
+        F.lit(None).cast("int").alias("end"),
+        F.lit(None).cast("int").alias("tok_begin"),
+        F.lit(None).cast("int").alias("tok_end"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("pred"),
     ).unionByName(
         mentions.select(
@@ -74,14 +87,21 @@ def doc_graph_subrels(
             F.lit(1).alias("kind"),
             F.col("sent_id").cast("int").alias("sent_id"),
             F.col("mention_id").cast("int").alias("mention_id"),
+            "ent_id",
             "ent_type",
+            "surface",
             "surface_norm",
+            F.col("begin").cast("int").alias("begin"),
+            F.col("end").cast("int").alias("end"),
+            F.col("tok_begin").cast("int").alias("tok_begin"),
+            F.col("tok_end").cast("int").alias("tok_end"),
+            F.lit(None).cast("int").alias("n_tokens"),
             F.lit(None).cast("string").alias("pred"),
         )
     )
     return doc_graph_subrels_tagged(
         tagged, pivot_type, arg_slots, max_path_len, num_partitions,
-        co_mention_edges,
+        co_mention_edges, token_window,
     )
 
 
@@ -91,7 +111,8 @@ def doc_graph_subrels_tagged(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
-    co_mention_edges: bool = False,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
 ) -> DataFrame:
     """doc_graph_subrels over an ALREADY-TAGGED row stream (TAGGED_SCHEMA:
     kind 0 = sentence rows, kind 1 = mention rows). This is the fusion
@@ -118,18 +139,24 @@ def doc_graph_subrels_tagged(
             if n_sents == 0:
                 n_sents = int(mrows["sent_id"].max()) + 1
             pred_of_sent = dict(zip(srows["sent_id"], srows["pred"]))
+            toks_of_sent = dict(zip(srows["sent_id"], srows["n_tokens"]))
+            sent_tok_counts = [
+                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
+            ]
             ms = [
                 {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid),
-                 "surface_norm": sn}
-                for mid, et, sid, sn in zip(
+                 "surface_norm": sn, "tok_begin": int(tb), "tok_end": int(te)}
+                for mid, et, sid, sn, tb, te in zip(
                     mrows["mention_id"], mrows["ent_type"],
                     mrows["sent_id"], mrows["surface_norm"],
+                    mrows["tok_begin"], mrows["tok_end"],
                 )
             ]
             ms.sort(key=lambda m: m["mention_id"])
             by_mid = {m["mention_id"]: m for m in ms}
             for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
-                                  co_mention_edges):
+                                  co_mention_edges, token_window,
+                                  sent_tok_counts):
                 pm = by_mid[r["pivot_mid"]]
                 pred = pred_of_sent.get(pm["sent_id"])
                 if isinstance(pred, float):  # pandas NaN for null preds
@@ -192,7 +219,8 @@ def doc_graph_evidence(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
-    co_mention_edges: bool = False,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
 ) -> DataFrame:
     """Fast path: ONE shuffle (tagged union of mention+sentence rows,
     hash-partitioned and sorted by url), then mapInPandas with a pandas
@@ -215,6 +243,9 @@ def doc_graph_evidence(
             F.col("sent_id").cast("int").alias("sent_id"),
             F.lit(None).cast("int").alias("mention_id"),
             F.lit(None).cast("string").alias("ent_type"),
+            F.lit(None).cast("int").alias("tok_begin"),
+            F.lit(None).cast("int").alias("tok_end"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
         )
         .unionByName(
             mentions.select(
@@ -223,6 +254,9 @@ def doc_graph_evidence(
                 F.col("sent_id").cast("int").alias("sent_id"),
                 F.col("mention_id").cast("int").alias("mention_id"),
                 "ent_type",
+                F.col("tok_begin").cast("int").alias("tok_begin"),
+                F.col("tok_end").cast("int").alias("tok_end"),
+                F.lit(None).cast("int").alias("n_tokens"),
             )
         )
         .repartition(num_partitions, "url")
@@ -236,18 +270,26 @@ def doc_graph_evidence(
             mrows = grp[grp["kind"] == 1]
             if mrows.empty:
                 continue
-            n_sents = int((grp["kind"] == 0).sum())
+            srows = grp[grp["kind"] == 0]
+            n_sents = len(srows)
             if n_sents == 0:
                 n_sents = int(mrows["sent_id"].max()) + 1
+            toks_of_sent = dict(zip(srows["sent_id"], srows["n_tokens"]))
+            sent_tok_counts = [
+                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
+            ]
             ms = [
-                {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid)}
-                for mid, et, sid in zip(
-                    mrows["mention_id"], mrows["ent_type"], mrows["sent_id"]
+                {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid),
+                 "tok_begin": int(tb), "tok_end": int(te)}
+                for mid, et, sid, tb, te in zip(
+                    mrows["mention_id"], mrows["ent_type"], mrows["sent_id"],
+                    mrows["tok_begin"], mrows["tok_end"],
                 )
             ]
             ms.sort(key=lambda m: m["mention_id"])
             for r in bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
-                                  co_mention_edges):
+                                  co_mention_edges, token_window,
+                                  sent_tok_counts):
                 out["url"].append(url)
                 out["pivot_mid"].append(r["pivot_mid"])
                 out["other_mid"].append(r["other_mid"])
@@ -299,7 +341,8 @@ def doc_graph_evidence_cogroup(
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
     num_partitions: int | None = None,
-    co_mention_edges: bool = False,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
 ) -> DataFrame:
     """mentions (MENTIONS_SCHEMA) x sentences (SENTENCES_SCHEMA) cogrouped by
     url -> evidence rows (EVIDENCE_SCHEMA) for candidate (pivot, arg) pairs
@@ -325,13 +368,23 @@ def doc_graph_evidence_cogroup(
             n_sents = int(s_pdf["sent_id"].max()) + 1 if not s_pdf.empty else (
                 int(m_pdf["sent_id"].max()) + 1
             )
+            toks_of_sent = (
+                dict(zip(s_pdf["sent_id"], s_pdf["n_tokens"]))
+                if not s_pdf.empty else {}
+            )
+            sent_tok_counts = [
+                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
+            ]
             ms = [
-                {"mention_id": int(r.mention_id), "ent_type": r.ent_type, "sent_id": int(r.sent_id)}
+                {"mention_id": int(r.mention_id), "ent_type": r.ent_type,
+                 "sent_id": int(r.sent_id), "tok_begin": int(r.tok_begin),
+                 "tok_end": int(r.tok_end)}
                 for r in m_pdf.itertuples()
             ]
             ms.sort(key=lambda m: m["mention_id"])
             rows = bfs_evidence(n_sents, ms, pivot_type, arg_slots, max_path_len,
-                                  co_mention_edges)
+                                  co_mention_edges, token_window,
+                                  sent_tok_counts)
         return pd.DataFrame(
             {
                 "url": pd.Series([url] * len(rows), dtype=object),
@@ -346,8 +399,10 @@ def doc_graph_evidence_cogroup(
         )
 
     return (
-        mentions.select("url", "mention_id", "ent_type", "sent_id")
+        mentions.select(
+            "url", "mention_id", "ent_type", "sent_id", "tok_begin", "tok_end"
+        )
         .groupBy("url")
-        .cogroup(sentences.select("url", "sent_id").groupBy("url"))
+        .cogroup(sentences.select("url", "sent_id", "n_tokens").groupBy("url"))
         .applyInPandas(per_doc, schema=EVIDENCE_SCHEMA)
     )

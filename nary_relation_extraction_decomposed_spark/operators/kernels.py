@@ -12,11 +12,22 @@ BFS shortest-path evidence replacing networkx. The graph model below:
   nodes   0..S-1            = sentences (S = number of text lines)
   nodes   S..S+M-1          = mentions (mention_id = rank in (begin,end) order)
   edges   mention <-> its sentence;  sentence i <-> sentence i+1
+  ENRICHED (default ON since round 3, the dependency/coref stand-in):
+  edges   mention <-> mention sharing a sentence (co-mention, length-1
+          evidence for same-sentence pairs; never changes acceptance)
+  edges   mention <-> mention in ADJACENT sentences whose token gap across
+          the boundary is <= TOKEN_WINDOW (proximity proxy for coreference:
+          "X ... . This effect ... Y" links X to Y directly when the
+          discourse-adjacent mentions are close)
 
-so two mentions in one sentence are 2 edges apart, in adjacent sentences 3,
-k sentences apart k+2. MAX_PATH_LEN=3 accepts same-sentence and
-adjacent-sentence evidence — the cross-sentence setting of the reference's
-n-ary task.
+In the BASE graph two mentions in one sentence are 2 edges apart, in
+adjacent sentences 3, k sentences apart k+2; MAX_PATH_LEN=3 accepts
+same/adjacent-sentence evidence. Token-window edges can CHAIN: a pivot
+two sentences from an argument (base distance 4, rejected) becomes
+accepted when each hop crosses a boundary within the window — goldens
+are generated with the enriched graph (fixtures/corpus.py shares these
+kernels), and the enrichment P/R delta vs the base-graph goldens is
+recorded in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -29,6 +40,7 @@ from ..functions.textnorm import normalize_surface
 MAX_PATH_LEN = 3          # max BFS edges for an accepted evidence path
 MAX_MENTIONS_PER_DOC = 512  # pathological docs truncated deterministically
 MAX_GAZ_TOKENS = 4        # longest gazetteer surface, in normalized tokens
+TOKEN_WINDOW = 12         # max cross-boundary token gap for a proximity edge
 
 _TOKEN_CHARS = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 
@@ -90,8 +102,11 @@ def detect_mentions_in_text(text: str, gaz: GazetteerIndex) -> list[dict]:
     """Longest-match left-to-right gazetteer scan, no overlaps.
 
     Returns mention dicts ordered by (begin, end) with ordinal mention_id:
-    {mention_id, ent_id, ent_type, surface, surface_norm, begin, end, sent_id}
-    Offsets are into the full document text ('\\n' counts one char).
+    {mention_id, ent_id, ent_type, surface, surface_norm, begin, end,
+     sent_id, tok_begin, tok_end}. Char offsets are into the full document
+    text ('\\n' counts one char); tok_begin/tok_end are TOKEN indices
+    within the sentence ([tok_begin, tok_end) span) — the token-window
+    proximity edges in bfs_evidence are computed from these.
     """
     out: list[dict] = []
     offset = 0
@@ -117,6 +132,8 @@ def detect_mentions_in_text(text: str, gaz: GazetteerIndex) -> list[dict]:
                             "begin": begin,
                             "end": end,
                             "sent_id": sent_id,
+                            "tok_begin": i,
+                            "tok_end": i + length,
                         }
                     )
                     matched = length
@@ -147,45 +164,77 @@ def bfs_evidence(
     pivot_type: str,
     arg_slots: list[tuple[str, str]],
     max_path_len: int = MAX_PATH_LEN,
-    co_mention_edges: bool = False,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
+    sent_tok_counts: list[int] | None = None,
 ) -> list[dict]:
     """Per-document graph + BFS shortest-path evidence (replaces networkx).
 
-    mentions: dicts with mention_id, ent_type, sent_id (mention_id ordinal).
+    mentions: dicts with mention_id, ent_type, sent_id (mention_id ordinal);
+    tok_begin/tok_end (token span within the sentence) enable the
+    token-window edges and are optional for base-graph callers.
     arg_slots: [(arg_ent_type, slot_label), ...] e.g. [('GENE','a'),('VARIANT','b')].
     Returns rows {pivot_mid, other_mid, slot, path_len, path} for candidate
     (pivot-typed mention, slot-typed mention) pairs whose shortest path has
     <= max_path_len edges. path = node-id list, sentence nodes 0..S-1,
     mention m -> node S + mention_id.
 
-    co_mention_edges=True additionally connects every mention pair sharing
-    a sentence directly (the coarse stand-in for the reference's richer
-    intra-sentential dependency edges): same-sentence evidence paths become
-    length 1 instead of 2. Because these shortcuts never span sentences,
-    the ACCEPTED pair set under max_path_len is unchanged — only the
-    evidence paths/lengths shift — so golden triple sets are identical
-    with the flag on or off (asserted in tests/test_graph_enrichment.py).
-    Default OFF: goldens are pinned to the base graph.
+    Enrichment (both ON by default — the dependency/coref stand-in the
+    reference's richer doc graph calls for):
+    - co_mention_edges: every mention pair sharing a sentence connects
+      directly; same-sentence evidence becomes length 1 instead of 2.
+      These shortcuts never span sentences, so the ACCEPTED pair set under
+      max_path_len is unchanged — asserted in tests/test_graph_enrichment.py.
+    - token_window: mentions in ADJACENT sentences whose token gap across
+      the boundary ((sent_toks - tok_end) + next's tok_begin) is <=
+      token_window connect directly (needs sent_tok_counts + tok spans;
+      silently skipped when absent). These CAN change acceptance: two
+      boundary-crossing hops chain a pivot to an argument two sentences
+      away at path 2 where the base graph needs 4 — goldens are generated
+      with the enriched graph (fixtures/corpus.py shares this kernel) and
+      the measured triple-set delta vs base-graph goldens is documented in
+      BENCH/BASELINE.md.
     """
     S = n_sents
     adj: list[list[int]] = [[] for _ in range(S + len(mentions))]
     for i in range(S - 1):  # sentence chain
         adj[i].append(i + 1)
         adj[i + 1].append(i)
-    by_sent: dict[int, list[int]] = {}
+    by_sent: dict[int, list[dict]] = {}
     for m in mentions:
         node = S + m["mention_id"]
         sent = m["sent_id"]
         if 0 <= sent < S:
             adj[node].append(sent)
             adj[sent].append(node)
-            by_sent.setdefault(sent, []).append(node)
+            by_sent.setdefault(sent, []).append(m)
     if co_mention_edges:
-        for nodes in by_sent.values():
-            for i, u in enumerate(nodes):
-                for v in nodes[i + 1:]:
+        for group in by_sent.values():
+            for i, m1 in enumerate(group):
+                u = S + m1["mention_id"]
+                for m2 in group[i + 1:]:
+                    v = S + m2["mention_id"]
                     adj[u].append(v)
                     adj[v].append(u)
+    if token_window is not None and sent_tok_counts:
+        for sent, group in by_sent.items():
+            nxt = by_sent.get(sent + 1)
+            if not nxt or sent >= len(sent_tok_counts):
+                continue
+            ntoks = sent_tok_counts[sent]
+            for m1 in group:
+                t1e = m1.get("tok_end")
+                if t1e is None:
+                    continue
+                for m2 in nxt:
+                    t2b = m2.get("tok_begin")
+                    if t2b is None:
+                        continue
+                    if (ntoks - t1e) + t2b <= token_window:
+                        u = S + m1["mention_id"]
+                        v = S + m2["mention_id"]
+                        adj[u].append(v)
+                        adj[v].append(u)
     for lst in adj:
         lst.sort()  # deterministic BFS neighbor order
 

@@ -19,7 +19,8 @@ from .kernels import GazetteerIndex, detect_mentions_in_text, sentence_predicate
 
 MENTIONS_SCHEMA = (
     "url string, mention_id int, ent_id string, ent_type string, "
-    "surface string, surface_norm string, begin int, end int, sent_id int"
+    "surface string, surface_norm string, begin int, end int, sent_id int, "
+    "tok_begin int, tok_end int"
 )
 SENTENCES_SCHEMA = "url string, sent_id int, n_tokens int, pred string"
 
@@ -62,6 +63,7 @@ def detect_mentions(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
         cols = [
             "url", "mention_id", "ent_id", "ent_type",
             "surface", "surface_norm", "begin", "end", "sent_id",
+            "tok_begin", "tok_end",
         ]
         for pdf in it:
             out: dict[str, list] = {c: [] for c in cols}
@@ -104,17 +106,20 @@ def detect_and_analyze_tagged(
 ) -> DataFrame:
     """FUSED mention detection + sentence analysis in ONE docs pass,
     emitting the tagged row stream (graph.TAGGED_SCHEMA: kind 0 = sentence
-    rows with pred, kind 1 = mention rows) that doc_graph_subrels_tagged
-    consumes directly. Halves the Python crossings of the mentions+
-    sentences stages and removes their union — use when the caller needs
-    only the graph/decomposition downstream (the unfused operators remain
-    for consumers that need the full MENTIONS_SCHEMA, e.g. ER over
-    surface forms, or per-stage checkpointing)."""
+    rows with n_tokens+pred, kind 1 = FULL mention rows) that
+    doc_graph_subrels_tagged consumes directly. Halves the Python crossings
+    of the mentions+sentences stages and removes their union; because
+    mention rows carry every MENTIONS_SCHEMA column, `mentions_view` /
+    `sentences_view` below recover the unfused frames by pure filter+
+    project — so the fused pass can also feed ER and result surfaces
+    (run_pipeline's default path). The unfused operators remain for
+    per-stage checkpointing."""
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(build_gazetteer_index(gazetteer))
     vocab = frozenset(pred_vocab)
-    cols = ["url", "kind", "sent_id", "mention_id", "ent_type",
-            "surface_norm", "pred"]
+    m_cols = ["mention_id", "ent_id", "ent_type", "surface", "surface_norm",
+              "begin", "end", "tok_begin", "tok_end"]
+    cols = ["url", "kind", "sent_id", *m_cols, "n_tokens", "pred"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = bc.value
@@ -127,24 +132,40 @@ def detect_and_analyze_tagged(
                     out["url"].append(url)
                     out["kind"].append(0)
                     out["sent_id"].append(s["sent_id"])
-                    out["mention_id"].append(None)
-                    out["ent_type"].append(None)
-                    out["surface_norm"].append(None)
+                    for c in m_cols:
+                        out[c].append(None)
+                    out["n_tokens"].append(s["n_tokens"])
                     out["pred"].append(s["pred"])
                 if text:
                     for m in detect_mentions_in_text(text, gaz):
                         out["url"].append(url)
                         out["kind"].append(1)
                         out["sent_id"].append(m["sent_id"])
-                        out["mention_id"].append(m["mention_id"])
-                        out["ent_type"].append(m["ent_type"])
-                        out["surface_norm"].append(m["surface_norm"])
+                        for c in m_cols:
+                            out[c].append(m[c])
+                        out["n_tokens"].append(None)
                         out["pred"].append(None)
             yield pd.DataFrame(out, columns=cols)
 
     from .graph import TAGGED_SCHEMA
 
     return docs.select("url", "text").mapInPandas(batches, schema=TAGGED_SCHEMA)
+
+
+def mentions_view(tagged: DataFrame) -> DataFrame:
+    """Recover the MENTIONS_SCHEMA frame from a tagged stream — pure
+    filter + project, no Python."""
+    return tagged.filter(F.col("kind") == 1).select(
+        "url", "mention_id", "ent_id", "ent_type", "surface",
+        "surface_norm", "begin", "end", "sent_id", "tok_begin", "tok_end",
+    )
+
+
+def sentences_view(tagged: DataFrame) -> DataFrame:
+    """Recover the SENTENCES_SCHEMA frame from a tagged stream."""
+    return tagged.filter(F.col("kind") == 0).select(
+        "url", "sent_id", "n_tokens", "pred"
+    )
 
 
 def doc_sentence_counts(sentences: DataFrame) -> DataFrame:

@@ -4,8 +4,11 @@ pages(url, warc_ts, html, text, lang)
   -> filter (lang/null, pre-UDF so it pushes into the scan)
   -> dedup latest per url (deterministic row_number)
   -> resolve text (frozen extractor, mapInPandas; drops html)
-  -> mentions + sentences (mapInPandas, broadcast gazetteer)
-  -> doc-graph BFS evidence (cogrouped applyInPandas)
+  -> FUSED tagged stream (default): mentions + sentence analysis in ONE
+     mapInPandas pass (broadcast gazetteer); mentions/sentences recovered
+     by filter+project; unfused two-pass path kept for checkpointing
+  -> doc-graph BFS evidence (mapInPandas over the url-sorted tagged rows;
+     enriched graph: co-mention + token-window edges, default ON)
   -> binary sub-relations (DataFrame joins; this IS the n-ary decomposition)
   -> ER canonical map (MinHash-LSH + connected components)
   -> rejoin into (subj, pred, obj) triples + support
@@ -22,7 +25,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 from ..operators import er, graph, mentions as M, textprep, triples as T
-from ..operators.kernels import MAX_PATH_LEN
+from ..operators.kernels import MAX_PATH_LEN, TOKEN_WINDOW
 
 
 def _rejoin(subrels, pred_rules, canon, config):
@@ -51,10 +54,19 @@ class PipelineConfig:
     lang: str = "en"
     max_path_len: int = MAX_PATH_LEN
     canonicalize: bool = True
-    # same-sentence mention<->mention edges in the doc graph (coarse stand-in
-    # for the reference's dependency edges); OFF by default — goldens pin the
-    # base graph, and the accepted pair set is provably unchanged (kernels.py)
-    co_mention_edges: bool = False
+    # enriched doc graph (DEFAULT ON since round 3 — the dependency/coref
+    # stand-in; goldens are generated with both flags at these defaults):
+    # co-mention = same-sentence mention<->mention edges (never changes
+    # acceptance); token_window = adjacent-sentence proximity edges (CAN
+    # accept chained cross-sentence evidence the base graph rejects) —
+    # see operators/kernels.bfs_evidence
+    co_mention_edges: bool = True
+    token_window: int | None = TOKEN_WINDOW
+    # fused default: detection + sentence analysis emit ONE tagged stream
+    # in a single Python crossing; mentions/sentences/ER all recover from
+    # it by filter+project. The checkpointed runner keeps unfused stages
+    # (per-stage manifests need stage-granular artifacts).
+    fused: bool = True
     # partitioning floor for Python-heavy stages (None -> 2x cores); see
     # operators/graph.py on why AQE byte-coalescing must not size these
     python_parallelism: int | None = None
@@ -117,6 +129,7 @@ def run_pipeline_checkpointed(
             ments, sents, config.pivot_type, list(config.arg_slots),
             config.max_path_len, num_partitions=width,
             co_mention_edges=config.co_mention_edges,
+            token_window=config.token_window,
         ),
     )
     subrels, fp_sr = ck.run_stage(
@@ -163,14 +176,30 @@ def run_pipeline(
     )
     docs = textprep.dedup_latest_text(resolved, num_partitions=width).persist()
 
-    ments = M.detect_mentions(docs, gazetteer)
-    sents = M.analyze_sentences(docs, list(config.pred_vocab))
-
-    ev = graph.doc_graph_subrels(
-        ments, sents, config.pivot_type, list(config.arg_slots),
-        config.max_path_len, num_partitions=width,
-        co_mention_edges=config.co_mention_edges,
-    )
+    if config.fused:
+        # ONE Python crossing: the tagged stream feeds the graph stage
+        # directly AND recovers mentions/sentences by filter+project.
+        # persist: referenced by evidence, ER, and the result surface.
+        tagged = M.detect_and_analyze_tagged(
+            docs, gazetteer, list(config.pred_vocab)
+        ).persist()
+        ments = M.mentions_view(tagged)
+        sents = M.sentences_view(tagged)
+        ev = graph.doc_graph_subrels_tagged(
+            tagged, config.pivot_type, list(config.arg_slots),
+            config.max_path_len, num_partitions=width,
+            co_mention_edges=config.co_mention_edges,
+            token_window=config.token_window,
+        )
+    else:
+        ments = M.detect_mentions(docs, gazetteer)
+        sents = M.analyze_sentences(docs, list(config.pred_vocab))
+        ev = graph.doc_graph_subrels(
+            ments, sents, config.pivot_type, list(config.arg_slots),
+            config.max_path_len, num_partitions=width,
+            co_mention_edges=config.co_mention_edges,
+            token_window=config.token_window,
+        )
     subrels = T.subrels_from_evidence(ev)
 
     canon = er.canonical_map(ments.select("surface_norm")) if config.canonicalize else None

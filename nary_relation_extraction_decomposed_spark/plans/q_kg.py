@@ -118,8 +118,9 @@ FROM mentions
 
 @query("doc_graph_bfs")
 def doc_graph_bfs_q(spark, sf_dir):
-    """Cogrouped applyInPandas graph+BFS. Driver docs are single-sentence, so
-    every (PIV, ARG) pair is reachable at path_len=2 — SQL-expressible."""
+    """Tagged mapInPandas graph+BFS. Driver docs are single-sentence, so
+    with the default-enriched graph (co-mention edges) every (PIV, ARG)
+    pair is a DIRECT length-1 path — SQL-expressible."""
     docs = _docs(spark, sf_dir)
     m = detect_mentions(docs, _gaz_df(spark))
     s = analyze_sentences(docs, PRED_WORDS)
@@ -136,7 +137,7 @@ ORACLES["doc_graph_bfs"] = f"""
 WITH {_DUCK_MENTIONS}
 SELECT p.url, p.mention_id AS pivot_mid, o.mention_id AS other_mid,
        CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS slot,
-       CAST(2 AS BIGINT) AS path_len
+       CAST(1 AS BIGINT) AS path_len
 FROM mentions p JOIN mentions o
   ON p.url = o.url AND p.tok = 'spark' AND o.tok <> 'spark'
 """

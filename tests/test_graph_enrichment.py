@@ -1,10 +1,13 @@
-"""co_mention_edges doc-graph enrichment (same-sentence mention<->mention
-edges, the coarse stand-in for the reference's dependency edges):
-- kernel level: same-sentence evidence becomes a length-1 direct path,
-  cross-sentence paths are untouched
-- pipeline level: the accepted TRIPLE set on the committed golden corpus is
-  identical with the flag on and off (the shortcuts never span sentences,
-  so acceptance under max_path_len cannot change)."""
+"""Doc-graph enrichment (the dependency/coref stand-in, DEFAULT ON):
+- co-mention edges: same-sentence evidence becomes a length-1 direct path,
+  acceptance under max_path_len provably unchanged vs the base graph
+- token-window proximity edges: adjacent-sentence mentions within a
+  TOKEN_WINDOW cross-boundary gap connect directly; two such hops CHAIN,
+  accepting pivot->arg pairs two sentences apart that the base graph
+  rejects (distance 4) — this is the acceptance delta the regenerated
+  goldens pin (P/R vs the old base-graph goldens in BENCH/BASELINE.md)
+- fused tagged path (ONE docs pass) == unfused operators, and the fused
+  run_pipeline default == the unfused pipeline end to end."""
 
 from __future__ import annotations
 
@@ -13,6 +16,7 @@ import os
 import pyspark.sql.functions as F
 
 from nary_relation_extraction_decomposed_spark.operators.kernels import (
+    TOKEN_WINDOW,
     bfs_evidence,
 )
 from nary_relation_extraction_decomposed_spark.plans.pipeline import (
@@ -27,20 +31,32 @@ MS = [
 ]
 SLOTS = [("GENE", "a"), ("VARIANT", "b")]
 
+# three sentences, one mention each, small cross-boundary token gaps:
+# m0 DRUG ends 1 token before sent0's end; m1 GENE spans tokens 1-2 of
+# sent1; m2 VARIANT starts at token 3 of sent2
+TW_MS = [
+    {"mention_id": 0, "ent_type": "DRUG", "sent_id": 0, "tok_begin": 6, "tok_end": 7},
+    {"mention_id": 1, "ent_type": "GENE", "sent_id": 1, "tok_begin": 1, "tok_end": 2},
+    {"mention_id": 2, "ent_type": "VARIANT", "sent_id": 2, "tok_begin": 3, "tok_end": 4},
+]
+TW_COUNTS = [8, 6, 9]  # gaps: m0->m1 = (8-7)+1 = 2; m1->m2 = (6-2)+3 = 7
+
 
 def test_kernel_co_mention_shortcuts_same_sentence_only():
     base = {
         (r["other_mid"], r["slot"]): r["path_len"]
-        for r in bfs_evidence(2, MS, "DRUG", SLOTS)
+        for r in bfs_evidence(2, MS, "DRUG", SLOTS,
+                              co_mention_edges=False, token_window=None)
     }
     rich = {
         (r["other_mid"], r["slot"]): r["path_len"]
-        for r in bfs_evidence(2, MS, "DRUG", SLOTS, co_mention_edges=True)
+        for r in bfs_evidence(2, MS, "DRUG", SLOTS,
+                              co_mention_edges=True, token_window=None)
     }
     assert base == {(1, "a"): 2, (2, "b"): 3}
     # same-sentence pair direct (1 edge); adjacent-sentence pair unchanged
     assert rich == {(1, "a"): 1, (2, "b"): 3}
-    # acceptance set identical
+    # co-mention alone never changes acceptance
     assert set(base) == set(rich)
 
 
@@ -52,10 +68,42 @@ def test_kernel_enriched_path_is_valid_and_deterministic():
     assert rows == bfs_evidence(2, MS, "DRUG", SLOTS, co_mention_edges=True)
 
 
+def test_kernel_token_window_chains_two_boundaries():
+    """Base graph: m0 (sent0) -> m2 (sent2) costs 4 edges — rejected at
+    max_path_len=3. Window edges m0-m1 and m1-m2 chain it at distance 2."""
+    base = {
+        (r["other_mid"], r["slot"]): r["path_len"]
+        for r in bfs_evidence(3, TW_MS, "DRUG", SLOTS,
+                              co_mention_edges=False, token_window=None,
+                              sent_tok_counts=TW_COUNTS)
+    }
+    rich = {
+        (r["other_mid"], r["slot"]): r["path_len"]
+        for r in bfs_evidence(3, TW_MS, "DRUG", SLOTS,
+                              sent_tok_counts=TW_COUNTS)
+    }
+    assert base == {(1, "a"): 3}  # VARIANT two sentences away: rejected
+    assert rich == {(1, "a"): 1, (2, "b"): 2}  # chained through the GENE
+    # a too-narrow window adds no edges at all (gap 2 > window 1)
+    narrow = bfs_evidence(3, TW_MS, "DRUG", SLOTS, token_window=1,
+                          sent_tok_counts=TW_COUNTS)
+    assert {(r["other_mid"], r["slot"]): r["path_len"] for r in narrow} == base
+
+
+def test_kernel_token_window_skipped_without_tok_info():
+    """Mentions lacking tok spans (or no sent_tok_counts) degrade to the
+    co-mention graph — no crash, no spurious edges."""
+    rows = bfs_evidence(2, MS, "DRUG", SLOTS, token_window=TOKEN_WINDOW)
+    assert {(r["other_mid"], r["slot"]): r["path_len"] for r in rows} == {
+        (1, "a"): 1, (2, "b"): 3,
+    }
+
+
 def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
     """detect_and_analyze_tagged -> doc_graph_subrels_tagged (ONE docs pass,
     one shuffle) must emit exactly the same evidence rows as the unfused
-    detect_mentions + analyze_sentences -> doc_graph_subrels path."""
+    detect_mentions + analyze_sentences -> doc_graph_subrels path, and the
+    mentions/sentences views must equal the unfused frames."""
     from nary_relation_extraction_decomposed_spark.operators.graph import (
         doc_graph_subrels,
         doc_graph_subrels_tagged,
@@ -64,6 +112,8 @@ def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
         analyze_sentences,
         detect_and_analyze_tagged,
         detect_mentions,
+        mentions_view,
+        sentences_view,
     )
     from nary_relation_extraction_decomposed_spark.operators.textprep import (
         dedup_latest_text,
@@ -76,23 +126,45 @@ def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
     gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
     docs = dedup_latest_text(resolve_text(filter_pages(pages, "en")))
     slots = [("GENE", "a"), ("VARIANT", "b")]
+    vocab = ["inhibits", "activates", "binds", "modulates"]
 
-    unfused = doc_graph_subrels(
-        detect_mentions(docs, gaz), analyze_sentences(docs, ["inhibits",
-        "activates", "binds", "modulates"]), "DRUG", slots,
-    )
-    fused = doc_graph_subrels_tagged(
-        detect_and_analyze_tagged(docs, gaz, ["inhibits", "activates",
-        "binds", "modulates"]), "DRUG", slots,
-    )
+    ments = detect_mentions(docs, gaz)
+    sents = analyze_sentences(docs, vocab)
+    tagged = detect_and_analyze_tagged(docs, gaz, vocab)
+
+    unfused = doc_graph_subrels(ments, sents, "DRUG", slots)
+    fused = doc_graph_subrels_tagged(tagged, "DRUG", slots)
     cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
             "other_norm", "slot", "pred", "path_len"]
     a = {tuple(r) for r in unfused.select(*cols).collect()}
     b = {tuple(r) for r in fused.select(*cols).collect()}
     assert a == b and len(a) > 100
 
+    mv = {tuple(r) for r in mentions_view(tagged).collect()}
+    assert mv == {tuple(r) for r in ments.collect()} and mv
+    sv = {tuple(r) for r in sentences_view(tagged).collect()}
+    assert sv == {tuple(r) for r in sents.collect()} and sv
 
-def test_golden_triples_invariant_under_enrichment(spark, fixture_dir):
+
+def test_fused_pipeline_equals_unfused(spark, fixture_dir):
+    """run_pipeline's fused default == the unfused pipeline end to end
+    (triples with support)."""
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+
+    def triples(fused):
+        cfg = PipelineConfig(canonicalize=False, fused=fused)
+        df = run_pipeline(pages, gaz, rules, cfg).triples
+        return {tuple(r) for r in df.select("subj", "pred", "obj", "support").collect()}
+
+    assert triples(True) == triples(False)
+
+
+def test_golden_triples_invariant_under_co_mention(spark, fixture_dir):
+    """Co-mention edges alone (token window fixed) never change the
+    accepted triple set — only evidence path lengths."""
     pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
     pages = pages.filter(F.xxhash64("url") % 8 == 0)  # speed cap
     gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
