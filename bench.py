@@ -15,9 +15,14 @@ Headline mix = the engine's load-bearing paths:
   corpus_dedup  end-to-end exact + MinHash-LSH dedup over a replicated
                 corpus with planted exact/near duplicates
   ann_lsh       LSH-bucketed ANN, full table self-query + exact rerank
-  ann_ivf       IVF ANN (deterministic Lloyd index, n_probe lists)
+  ann_ivf_build IVF index build (deterministic Lloyd) + catalog persist
+  ann_ivf       IVF ANN query against the STORED cid-partitioned index
   ann_topk      brute-force cosine top-k over embeddings
   win_session   session windows over events
+
+Every entry is steal-defended: per-entry steal measured from /proc/stat,
+entries over the retry threshold rerun, min wall kept (+ its steal and the
+attempt count in the JSON) — one contended draw can't be the headline.
 """
 
 from __future__ import annotations
@@ -45,6 +50,10 @@ def _cpu_stat() -> tuple[int, int]:
 
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
+# steal-gated retry: entries whose run suffered more host steal than this
+# rerun (the committed sample must not be one contended draw)
+STEAL_RETRY_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY_PCT", "3.0"))
+MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
 
 def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
@@ -282,15 +291,32 @@ def bench_corpus_dedup(spark, sf_dir: str) -> tuple[int, int, int]:
     return n_docs, n_groups, n_cand
 
 
-def bench_ann_ivf(spark, sf_dir: str) -> int:
-    """IVF ANN at the same full-table self-query scale as ann_lsh: the
-    deterministic Lloyd index is built in-query, then each query probes
-    n_probe=2 of nlist=32 inverted lists (~6% of the corpus reranked
-    exactly). Returns result rows."""
+def bench_ann_ivf_build(spark, sf_dir: str) -> tuple:
+    """IVF index BUILD: deterministic Lloyd (nlist=32) + persist through
+    plans/catalog.write_ivf_index (centroids parquet + cid-partitioned
+    lists) — the pay-once artifact. Returns the reread (centroids, lists)."""
+    from nary_relation_extraction_decomposed_spark.operators import similarity as S
+    from nary_relation_extraction_decomposed_spark.plans.catalog import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent, lists = S.ivf_index(em, nlist=32, lloyd_iters=2)
+    path = "/tmp/spark_graft_ivf_bench"
+    write_ivf_index(cent, lists, path)
+    return read_ivf_index(spark, path)
+
+
+def bench_ann_ivf_query(spark, sf_dir: str, index) -> int:
+    """IVF ANN QUERY at the same full-table self-query scale as ann_lsh,
+    against the STORED index: each query probes n_probe=2 of nlist=32
+    cid-partitioned lists (~6% of the corpus reranked exactly). Returns
+    result rows."""
     from nary_relation_extraction_decomposed_spark.operators import similarity as S
 
     em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return S.ann_topk_ivf(em, em, k=5, nlist=32, n_probe=2).count()
+    return S.ann_topk_ivf(None, em, k=5, n_probe=2, index=index).count()
 
 
 def bench_ann_lsh(spark, sf_dir: str) -> int:
@@ -328,6 +354,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    entry_steal: dict[str, float] = {}
+    entry_attempts: dict[str, int] = {}
     extras: dict[str, float] = {}
 
     # warm the JVM (parquet reader, codegen) AND the Python worker pool —
@@ -335,20 +363,12 @@ def main() -> None:
     # ~100ms x slots to the first timed UDF stage
     docs_warm = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     docs_warm.count()
-    import pandas as _pd
 
     def _noop(it):
         for pdf in it:
             yield pdf[["doc_id"]]
 
     (docs_warm.repartition(int(CPUS)).mapInPandas(_noop, "doc_id bigint").count())
-
-    st0, tot0 = _cpu_stat()
-    t0 = time.time()
-    n_docs, n_triples = bench_kg_pipeline(spark, SF_DIR)
-    timings["kg_pipeline"] = round(time.time() - t0, 3)
-    extras["kg_docs"] = n_docs
-    extras["kg_triples"] = n_triples
 
     def reset_between_entries() -> None:
         """Drop cached/localCheckpointed blocks and force a JVM GC between
@@ -358,59 +378,82 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
+    def timed(name: str, fn):
+        """Steal-defended timing (VERDICT r2 #3: the committed sample must
+        defend itself): per-entry steal from /proc/stat; entries that
+        suffered > STEAL_RETRY_PCT steal rerun (up to MAX_ATTEMPTS). The
+        kept number is the MINIMUM wall across attempts — the capability
+        measurement on a shared-steal box — with ITS steal recorded."""
+        best = None
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            reset_between_entries()
+            s0, c0 = _cpu_stat()
+            t0 = time.time()
+            result = fn()
+            wall = round(time.time() - t0, 3)
+            s1, c1 = _cpu_stat()
+            steal = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 1)
+            if best is None or wall < best[0]:
+                best = (wall, steal, result)
+            entry_attempts[name] = attempt
+            if steal <= STEAL_RETRY_PCT:
+                break
+        timings[name], entry_steal[name], result = best
+        return result
+
+    n_docs, n_triples = timed(
+        "kg_pipeline", lambda: bench_kg_pipeline(spark, SF_DIR)
+    )
+    extras["kg_docs"] = n_docs
+    extras["kg_triples"] = n_triples
+
     def run(name: str, qkey: str) -> None:
-        reset_between_entries()
-        t = time.time()
-        QUERIES[qkey](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t, 3)
+        timed(name, lambda: QUERIES[qkey](spark, SF_DIR).count())
 
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "") != "kg":
-        reset_between_entries()
-        t = time.time()
-        hd, ht = bench_kg_heavy(spark, SF_DIR)
-        timings["kg_heavy"] = round(time.time() - t, 3)
+        hd, ht = timed("kg_heavy", lambda: bench_kg_heavy(spark, SF_DIR))
         extras["kg_heavy_docs"] = hd
         extras["kg_heavy_docs_per_sec"] = round(hd / timings["kg_heavy"], 2)
 
-        reset_between_entries()
-        t = time.time()
-        extras["er_surfaces"] = bench_er_canon(spark, SF_DIR)
-        timings["er_canon"] = round(time.time() - t, 3)
+        extras["er_surfaces"] = timed(
+            "er_canon", lambda: bench_er_canon(spark, SF_DIR)
+        )
 
         run("rejoin_heavy", "rejoin_triples")
         run("agg_q1", "agg_stats")
 
-        reset_between_entries()
-        t = time.time()
-        nd, ng, nc = bench_corpus_dedup(spark, SF_DIR)
-        timings["corpus_dedup"] = round(time.time() - t, 3)
+        nd, ng, nc = timed(
+            "corpus_dedup", lambda: bench_corpus_dedup(spark, SF_DIR)
+        )
         extras["dedup_docs"] = nd
         extras["dedup_exact_groups"] = ng
         extras["dedup_lsh_candidates"] = nc
 
-        reset_between_entries()
-        t = time.time()
-        extras["ann_result_rows"] = bench_ann_lsh(spark, SF_DIR)
-        timings["ann_lsh"] = round(time.time() - t, 3)
+        extras["ann_result_rows"] = timed(
+            "ann_lsh", lambda: bench_ann_lsh(spark, SF_DIR)
+        )
 
-        reset_between_entries()
-        t = time.time()
-        extras["ann_ivf_rows"] = bench_ann_ivf(spark, SF_DIR)
-        timings["ann_ivf"] = round(time.time() - t, 3)
+        # IVF split per VERDICT r2 #5: the Lloyd build + catalog persist is
+        # the pay-once artifact; the query entry runs against the STORED
+        # cid-partitioned index
+        index = timed("ann_ivf_build", lambda: bench_ann_ivf_build(spark, SF_DIR))
+        extras["ann_ivf_rows"] = timed(
+            "ann_ivf", lambda: bench_ann_ivf_query(spark, SF_DIR, index)
+        )
 
         run("ann_topk", "ann_topk")
         run("win_session", "win_session")
 
-    st1, tot1 = _cpu_stat()
-    steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1), 1)
-
+    steal_vals = list(entry_steal.values())
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "steal_pct": steal_pct,
+        "steal_pct": round(max(steal_vals), 1) if steal_vals else 0.0,
         "metric": "kg_pipeline+operator_suite_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "entry_steal_pct": entry_steal,
+        "entry_attempts": entry_attempts,
         "sf": SF_DIR,
         "cpus": int(CPUS),
         "docs_per_sec": round(n_docs / timings["kg_pipeline"], 2),

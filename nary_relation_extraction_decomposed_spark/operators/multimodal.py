@@ -2,14 +2,19 @@
 with typed metadata.
 
 The Spark side is REAL and tested: schemas, Arrow batch shapes, mapInPandas
-signatures, partition-friendly layout. The codec step is STUBBED (no
-image/audio libraries ship in this container): decode_image raises
-NotImplementedError unless a deterministic fake decoder is requested —
-exactly the seam where PIL/ffmpeg drops in at deployment.
+signatures, partition-friendly layout. METADATA is also real: pure-Python,
+dependency-free header parses extract width/height from PNG IHDR and JPEG
+SOFn markers and sample-rate/channels/duration from WAV fmt/data chunks
+(tests/test_multimodal_headers.py runs them over hand-built byte
+fixtures). Only PIXEL decode is stubbed (no image/audio libraries ship in
+this container): decode_image raises NotImplementedError unless the
+deterministic fake decoder is requested — exactly the seam where
+PIL/ffmpeg drops in at deployment.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,7 +26,8 @@ MEDIA_SCHEMA = (
 )
 FEATURES_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, magic string, "
-    "width int, height int, feat array<double>"
+    "width int, height int, sample_rate int, duration_ms int, "
+    "feat array<double>"
 )
 
 _MAGIC_KINDS = {
@@ -39,6 +45,86 @@ def sniff_kind(payload: bytes | None) -> str:
         if payload[: len(magic)] == magic:
             return kind
     return "application/octet-stream"
+
+
+def parse_png_size(p: bytes) -> tuple[int, int] | None:
+    """Width/height from the IHDR chunk (PNG spec: 8-byte signature, then
+    length+\"IHDR\"+width(4,BE)+height(4,BE)). Total: returns None on
+    anything malformed."""
+    if len(p) < 24 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", p[16:24])
+    return (w, h) if 0 < w < 1 << 24 and 0 < h < 1 << 24 else None
+
+
+def parse_jpeg_size(p: bytes) -> tuple[int, int] | None:
+    """Width/height from the first SOFn frame marker (JPEG: FFD8, then
+    FF-marked segments with 2-byte big-endian lengths; SOF0/1/2/3/5/6/7/
+    9/10/11/13/14/15 carry precision(1)+height(2)+width(2))."""
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+           0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            return None  # desynced — bail rather than scan garbage
+        marker = p[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers, no length
+            continue
+        if i + 4 > len(p):
+            return None
+        seglen = struct.unpack(">H", p[i + 2:i + 4])[0]
+        if marker in sof:
+            if i + 9 > len(p) or seglen < 7:
+                return None
+            h, w = struct.unpack(">HH", p[i + 5:i + 9])
+            return (w, h) if w > 0 and h > 0 else None
+        if marker == 0xDA:  # start of scan — no SOF seen before it
+            return None
+        i += 2 + seglen
+    return None
+
+
+def parse_wav_meta(p: bytes) -> tuple[int, int, int] | None:
+    """(sample_rate, channels, duration_ms) from RIFF/WAVE fmt + data
+    chunks (all little-endian; duration = data bytes / byte_rate)."""
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = byte_rate = None
+    data_len = None
+    while i + 8 <= len(p):
+        cid = p[i:i + 4]
+        clen = struct.unpack("<I", p[i + 4:i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(p):
+            channels, rate = struct.unpack("<HI", p[i + 10:i + 16])
+            byte_rate = struct.unpack("<I", p[i + 16:i + 20])[0]
+        elif cid == b"data":
+            data_len = clen
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not rate or not byte_rate or data_len is None:
+        return None
+    return rate, channels or 0, int(data_len * 1000 // byte_rate)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Dependency-free typed metadata for the supported container formats:
+    {width, height, sample_rate, duration_ms} with None where the format
+    doesn't carry the field (or the header is unparseable)."""
+    out = {"width": None, "height": None, "sample_rate": None, "duration_ms": None}
+    wh = parse_png_size(payload) or parse_jpeg_size(payload)
+    if wh:
+        out["width"], out["height"] = wh
+        return out
+    wav = parse_wav_meta(payload)
+    if wav:
+        out["sample_rate"], _, out["duration_ms"] = wav
+    return out
 
 
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[float]]:
@@ -60,22 +146,29 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, list[flo
 
 
 def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
-    """media (MEDIA_SCHEMA) -> FEATURES_SCHEMA via mapInPandas: metadata is
-    always real (length, magic sniff); pixel decode goes through the stub."""
+    """media (MEDIA_SCHEMA) -> FEATURES_SCHEMA via mapInPandas. Metadata is
+    REAL: length, magic sniff, and the dependency-free header parses
+    (PNG/JPEG width+height, WAV sample_rate+duration_ms). Only the pixel
+    feature vector goes through the decode stub; for parsed containers the
+    stub's fake w/h is overridden by the genuine header values."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "kind", "n_bytes", "magic", "width", "height",
+                "sample_rate", "duration_ms", "feat")
         for pdf in it:
-            out = {k: [] for k in
-                   ("media_id", "kind", "n_bytes", "magic", "width", "height", "feat")}
+            out = {k: [] for k in cols}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload) if payload is not None else b""
                 out["media_id"].append(mid)
                 out["kind"].append(sniff_kind(p))
                 out["n_bytes"].append(len(p))
                 out["magic"].append(p[:4].hex())
+                hdr = parse_media_header(p)
                 w, h, feat = decode_image(p, fake=fake_decode)
-                out["width"].append(w)
-                out["height"].append(h)
+                out["width"].append(hdr["width"] if hdr["width"] is not None else w)
+                out["height"].append(hdr["height"] if hdr["height"] is not None else h)
+                out["sample_rate"].append(hdr["sample_rate"])
+                out["duration_ms"].append(hdr["duration_ms"])
                 out["feat"].append(feat)
             yield pd.DataFrame(
                 {
@@ -85,6 +178,8 @@ def extract_media_features(media: DataFrame, fake_decode: bool = True) -> DataFr
                     "magic": pd.Series(out["magic"], dtype=object),
                     "width": pd.Series(out["width"], dtype="int32"),
                     "height": pd.Series(out["height"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="Int32"),
                     "feat": pd.Series(out["feat"], dtype=object),
                 }
             )

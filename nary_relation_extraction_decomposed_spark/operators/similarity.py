@@ -220,7 +220,7 @@ def _assign_nearest(
 
 
 def ann_topk_ivf(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -228,14 +228,23 @@ def ann_topk_ivf(
     nlist: int = 16,
     n_probe: int = 2,
     lloyd_iters: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF ANN: queries probe their n_probe nearest coarse centroids and
     rerank exactly ONLY within those inverted lists — the third ANN
     strategy next to brute-force (exact, small query sets) and
     hyperplane-LSH (hash-bucketed). Work per query ~ n_probe/nlist of the
     corpus; recall rises with n_probe. The cid equi-join replaces the
-    crossJoin at scale; lists are the bucketed storage layout."""
-    centroids, lists = ivf_index(corpus, id_col, vec_col, nlist, lloyd_iters)
+    crossJoin at scale; lists are the bucketed storage layout.
+
+    `index` = a prebuilt (centroids, lists) pair — e.g. straight from
+    plans/catalog.read_ivf_index (cid-partitioned parquet) — so the Lloyd
+    build is paid ONCE per corpus snapshot, not per query batch; corpus
+    may then be None. Without it the index is built in-query."""
+    if index is not None:
+        centroids, lists = index
+    else:
+        centroids, lists = ivf_index(corpus, id_col, vec_col, nlist, lloyd_iters)
     q = queries.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
     )

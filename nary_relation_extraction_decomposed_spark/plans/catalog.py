@@ -14,6 +14,8 @@ writeTo() call is isolated here and swaps in one place:
 
 from __future__ import annotations
 
+import posixpath
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,6 +65,33 @@ def write_bucketed_table(
     if sort_col:
         w = w.sortBy(sort_col)
     w.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def write_ivf_index(
+    centroids: DataFrame, lists: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an IVF ANN index (operators/similarity.ivf_index output):
+    centroids (nlist rows — the broadcast side of every probe) as plain
+    parquet, inverted lists PARTITIONED BY cid so a query probing n_probe
+    of nlist lists statically prunes to n_probe/nlist of the corpus bytes
+    at scan time (the Iceberg equivalent: identity-partition on cid, or
+    bucket(n, cid) once nlist outgrows a directory-per-value layout).
+    The index is deterministic (content-seeded Lloyd), so a rebuild after
+    corpus changes is reproducible — no model artifact versioning needed
+    beyond the path."""
+    centroids.write.mode(mode).parquet(posixpath.join(path, "centroids"))
+    lists.write.mode(mode).partitionBy("cid").parquet(
+        posixpath.join(path, "lists")
+    )
+
+
+def read_ivf_index(spark: SparkSession, path: str):
+    """(centroids, lists) back from write_ivf_index; cid partition pruning
+    applies to any equi/IN filter the probe join pushes down."""
+    return (
+        spark.read.parquet(posixpath.join(path, "centroids")),
+        spark.read.parquet(posixpath.join(path, "lists")),
+    )
 
 
 def write_table_v2(

@@ -150,6 +150,39 @@ def test_ann_ivf_recall_and_determinism(spark):
     assert approx == approx2
 
 
+def test_ann_ivf_stored_index_roundtrip(spark, tmp_path):
+    """Persisting the IVF index through plans/catalog (centroids parquet +
+    cid-partitioned lists) and querying the stored form must match the
+    in-memory index exactly — the build is a pay-once artifact."""
+    from nary_relation_extraction_decomposed_spark.plans.catalog import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = em.filter(F.col("vec_id") < 10)
+    cent, lists = S.ivf_index(em, nlist=16, lloyd_iters=2)
+    mem = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in S.ann_topk_ivf(None, q, k=5, n_probe=4,
+                                index=(cent, lists)).collect()
+    }
+    write_ivf_index(cent, lists, str(tmp_path / "ivf"))
+    stored = read_ivf_index(spark, str(tmp_path / "ivf"))
+    got = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in S.ann_topk_ivf(None, q, k=5, n_probe=4,
+                                index=stored).collect()
+    }
+    assert got == mem and got
+    # in-query build (corpus arg) is the same index by determinism
+    inq = {
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in S.ann_topk_ivf(em, q, k=5, nlist=16, n_probe=4).collect()
+    }
+    assert inq == mem
+
+
 def test_ann_ivf_lists_partition_corpus(spark):
     """The inverted lists are a PARTITION of the corpus (every vector in
     exactly one list) and centroids stay nlist-sized."""
