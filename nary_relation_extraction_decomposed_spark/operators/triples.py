@@ -100,7 +100,7 @@ def new_triples(current: DataFrame, previous: DataFrame) -> DataFrame:
 
 
 def _canonicalize_and_support(
-    pairs: DataFrame, canon_map: DataFrame | None
+    pairs: DataFrame, canon_map: DataFrame | None, url_level: bool = False
 ) -> DataFrame:
     """(url, subj_norm, pred, obj_norm) -> (subj, pred, obj, support):
     canonical labels via broadcast map, then skew-safe support counting for
@@ -108,7 +108,14 @@ def _canonicalize_and_support(
     (triple, url) — the shuffle key includes url, so a hot triple's rows
     spread across reducers exactly like a salted key; phase 2 counts per
     triple with map-side partial aggregation (each partition contributes at
-    most one partial row per triple)."""
+    most one partial row per triple).
+
+    url_level=True stops after phase 1 and returns the DISTINCT
+    (subj, pred, obj, url) evidence pairs instead of aggregating — the
+    provenance table; summing later with countDistinct(url) reproduces
+    support exactly, which is what the streaming delta path needs to
+    canonicalize at merge time without double counting a url whose alias
+    surfaces collapse onto one canonical triple."""
     if canon_map is not None:
         cm_s = broadcast(canon_map.select(
             F.col("surface_norm").alias("subj_norm"), F.col("canonical").alias("subj_canon")))
@@ -124,16 +131,16 @@ def _canonicalize_and_support(
                 F.coalesce("obj_canon", "obj_norm").alias("obj_norm"),
             )
         )
-    return (
-        pairs.select(
-            F.col("subj_norm").alias("subj"),
-            F.col("pred"),
-            F.col("obj_norm").alias("obj"),
-            "url",
-        )
-        .distinct()
-        .groupBy("subj", "pred", "obj")
-        .agg(F.count("*").alias("support"))
+    distinct_pairs = pairs.select(
+        F.col("subj_norm").alias("subj"),
+        F.col("pred"),
+        F.col("obj_norm").alias("obj"),
+        "url",
+    ).distinct()
+    if url_level:
+        return distinct_pairs
+    return distinct_pairs.groupBy("subj", "pred", "obj").agg(
+        F.count("*").alias("support")
     )
 
 
@@ -142,6 +149,7 @@ def rejoin_nary(
     slot_rules: DataFrame,
     slots: list[str],
     canon_map: DataFrame | None = None,
+    url_level: bool = False,
 ) -> DataFrame:
     """GENERALIZED binary -> n-ary rejoin for arity n = len(slots) + 1
     (pivot + one entity per slot); the 3-ary rejoin_triples below is the
@@ -190,7 +198,7 @@ def rejoin_nary(
             ])
         ).alias("t"),
     ).select("url", "t.subj_norm", "t.pred", "t.obj_norm")
-    return _canonicalize_and_support(pairs, canon_map)
+    return _canonicalize_and_support(pairs, canon_map, url_level)
 
 
 def rejoin_triples_grouped(
@@ -274,6 +282,7 @@ def rejoin_triples(
     subrels: DataFrame,
     pred_rules: DataFrame,
     canon_map: DataFrame | None = None,
+    url_level: bool = False,
 ) -> DataFrame:
     """Rejoin slot-a and slot-b sub-relations on (url, pivot_mid, pred),
     match the broadcast rule table (subrel_a, subrel_b -> pred_a, pred_b),
@@ -322,4 +331,4 @@ def rejoin_triples(
         ).alias("t"),
     ).select("url", "t.subj_norm", "t.pred", "t.obj_norm")
 
-    return _canonicalize_and_support(pairs, canon_map)
+    return _canonicalize_and_support(pairs, canon_map, url_level)

@@ -28,22 +28,24 @@ from ..operators import er, graph, mentions as M, textprep, triples as T
 from ..operators.kernels import MAX_PATH_LEN, TOKEN_WINDOW
 
 
-def _rejoin(subrels, pred_rules, canon, config):
+def _rejoin(subrels, pred_rules, canon, config, url_level=False):
     """Rejoin dispatch on the rule-table schema: a (slot, pred, pred_out)
     table takes the GENERALIZED n-ary path (any arity = len(arg_slots)+1);
     the legacy (subrel_a, subrel_b, pred_a, pred_b) binary-rule table takes
-    the 3-ary specialization."""
+    the 3-ary specialization. url_level=True returns the distinct
+    (subj, pred, obj, url) evidence pairs instead of aggregated support
+    (the streaming delta granularity)."""
     cols = set(pred_rules.columns)
     if {"slot", "pred", "pred_out"} <= cols:
         slots = [s for _, s in config.arg_slots]
-        return T.rejoin_nary(subrels, pred_rules, slots, canon)
+        return T.rejoin_nary(subrels, pred_rules, slots, canon, url_level)
     if len(config.arg_slots) != 2:
         raise ValueError(
             f"arity {len(config.arg_slots) + 1} needs a (slot, pred, pred_out) "
             f"rule table; the binary-rule table {sorted(cols)} only supports "
             "slots (a, b)"
         )
-    return T.rejoin_triples(subrels, pred_rules, canon)
+    return T.rejoin_triples(subrels, pred_rules, canon, url_level)
 
 
 @dataclass(frozen=True)

@@ -44,32 +44,48 @@ def stream_pages_to_triples(
     config: PipelineConfig,
     out_path: str,
     checkpoint_dir: str,
+    url_level: bool = False,
 ):
     """Drive the pages stream through the batch KG pipeline per micro-batch,
-    appending (subj, pred, obj, support, batch_id) deltas; availableNow
-    drains everything currently in the source and stops. Returns the
-    finished query.
+    appending triple deltas; availableNow drains everything currently in
+    the source and stops. Returns the finished query.
+
+    Delta granularity:
+    - url_level=False: (subj, pred, obj, support, batch_id) — compact;
+      SUM(support) reproduces batch support for RAW surface triples.
+    - url_level=True: (subj, pred, obj, url, batch_id) — the provenance
+      table; countDistinct(url) reproduces support exactly even AFTER a
+      merge-time canonical map collapses alias triples from one url
+      (canonicalize_url_deltas below). Bigger, but it is the shape a KG
+      needs for evidence anyway.
 
     Requires config.canonicalize=False: the additivity contract above only
     holds for RAW surface triples — a per-micro-batch canonical map is
     computed from that batch's surfaces alone, so canonical labels (min of
     a smaller cluster) can differ per batch and from the union run,
     silently breaking SUM(support) equality. Canonicalize at merge time
-    instead: build one canonical map over the union surfaces and apply it
-    to merge_triple_deltas' output."""
+    instead: build ONE canonical map over the union surfaces and apply it
+    with canonicalize_url_deltas."""
     if config.canonicalize:
         raise ValueError(
             "stream_pages_to_triples requires PipelineConfig(canonicalize="
             "False): per-batch canonical maps break delta additivity; "
-            "apply one shared canonical map after merge_triple_deltas"
+            "apply one shared canonical map at merge time "
+            "(canonicalize_url_deltas)"
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
         res = run_pipeline(batch_df, gazetteer, pred_rules, config)
+        if url_level:
+            from ..plans.pipeline import _rejoin
+
+            out = _rejoin(res.subrels, pred_rules, None, config, url_level=True)
+        else:
+            out = res.triples
         (
-            res.triples.withColumn("batch_id", F.lit(batch_id))
+            out.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_path)
         )
@@ -85,11 +101,56 @@ def stream_pages_to_triples(
 
 
 def merge_triple_deltas(spark: SparkSession, out_path: str) -> DataFrame:
-    """Delta table -> current triple set: replayed batches dedup by
-    batch_id first (idempotent under at-least-once delivery), then support
-    sums across batches."""
+    """Delta table -> current triple set, dispatching on the stored
+    granularity. Aggregated deltas: dedup (triple, batch_id) replays, sum
+    support. Url-level deltas: distinct (triple, url) — a url lives in one
+    batch, and distinct also absorbs at-least-once replays — then count
+    (the skew-safe two-phase form: the first shuffle key includes url)."""
     deltas = spark.read.parquet(out_path)
+    if "url" in deltas.columns:
+        return (
+            deltas.select("subj", "pred", "obj", "url")
+            .distinct()
+            .groupBy("subj", "pred", "obj")
+            .agg(F.count("*").cast("bigint").alias("support"))
+        )
     deduped = deltas.dropDuplicates(["subj", "pred", "obj", "batch_id"])
     return deduped.groupBy("subj", "pred", "obj").agg(
         F.sum("support").cast("bigint").alias("support")
+    )
+
+
+def canonicalize_url_deltas(
+    deltas: DataFrame, canon_map: DataFrame
+) -> DataFrame:
+    """EXACT merge-time canonicalization — the streaming counterpart of
+    the batch pipeline's in-run ER (stream_pages_to_triples requires
+    canonicalize=False; this is the documented second half):
+
+        stream_pages_to_triples(..., url_level=True)
+        canon = er.canonical_map(union-corpus surfaces)   # ONE shared map
+        canonicalize_url_deltas(spark.read.parquet(deltas), canon)
+
+    Broadcast-maps subj/obj through the shared canonical labels (absent
+    surfaces keep themselves — same coalesce rule as operators/triples),
+    dedups (canonical triple, url), counts. Needs url-level deltas: with
+    only aggregated supports, a url whose alias surfaces collapse onto one
+    canonical triple would be double counted (SUM is an upper bound there);
+    with urls it reproduces the canonicalized batch pipeline EXACTLY
+    (asserted in tests/test_streaming_kg.py)."""
+    canon = canon_map.select("surface_norm", "canonical")
+    subj_map = F.broadcast(canon.toDF("subj", "_subj_c"))
+    obj_map = F.broadcast(canon.toDF("obj", "_obj_c"))
+    return (
+        deltas.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("_subj_c", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_obj_c", "obj").alias("obj"),
+            "url",
+        )
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("bigint").alias("support"))
     )

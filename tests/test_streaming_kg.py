@@ -57,8 +57,43 @@ def test_streaming_triples_match_batch(spark, fixture_dir, tmp_path):
         (r["subj"], r["pred"], r["obj"], r["support"])
         for r in KS.merge_triple_deltas(spark, out).collect()
     }
+    batch = run_pipeline(pages, gaz, rules, cfg)
     want = {
         (r["subj"], r["pred"], r["obj"], r["support"])
-        for r in run_pipeline(pages, gaz, rules, cfg).triples.collect()
+        for r in batch.triples.collect()
     }
     assert got == want and got
+
+    # URL-LEVEL deltas: merge must give the same raw triples, and
+    # merge-time canonicalization with ONE shared map over the union
+    # surfaces must equal the batch pipeline run WITH canonicalize=True
+    # (exactly — including urls whose alias triples collapse)
+    out_u = str(tmp_path / "url_deltas")
+    KS.stream_pages_to_triples(
+        KS.read_pages_stream(spark, src, max_files=1),
+        gaz, rules, cfg, out_u, str(tmp_path / "ck_u"), url_level=True,
+    )
+    got_u = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.merge_triple_deltas(spark, out_u).collect()
+    }
+    assert got_u == want
+
+    from nary_relation_extraction_decomposed_spark.operators.er import (
+        canonical_map,
+    )
+
+    canon = canonical_map(batch.mentions.select("surface_norm"))
+    got_c = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.canonicalize_url_deltas(
+            spark.read.parquet(out_u), canon
+        ).collect()
+    }
+    want_c = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages, gaz, rules, PipelineConfig(canonicalize=True)
+        ).triples.collect()
+    }
+    assert got_c == want_c and got_c

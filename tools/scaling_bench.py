@@ -141,8 +141,12 @@ def main() -> None:
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
+    label = os.environ.get("SCALING_LABEL", f"N={n_small} vs {n_large}")
     with open(md, "a") as f:
-        f.write("\n## Scaling run\n\n```json\n" + json.dumps(report, indent=1) + "\n```\n")
+        f.write(
+            f"\n## Scaling run — {label}\n\n```json\n"
+            + json.dumps(report, indent=1) + "\n```\n"
+        )
 
 
 if __name__ == "__main__":
