@@ -122,6 +122,15 @@ def doc_graph_subrels_tagged(
     if num_partitions is None:
         num_partitions = tagged.sparkSession.sparkContext.defaultParallelism * 2
 
+    # project to the columns the BFS chunk actually reads BEFORE the url
+    # shuffle: the full tagged stream also carries ent_id/surface/begin/end
+    # for the mentions_view/ER consumers, and mapInPandas gets no automatic
+    # column pruning — without this select those strings ride the Exchange
+    # and the Arrow crossing for nothing
+    tagged = tagged.select(
+        "url", "kind", "sent_id", "mention_id", "ent_type", "surface_norm",
+        "tok_begin", "tok_end", "n_tokens", "pred",
+    )
     tagged = tagged.repartition(num_partitions, "url").sortWithinPartitions(
         "url", "kind", "mention_id"
     )
