@@ -91,9 +91,12 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     )
 
     # partitions per core > 1 evens out straggler tails in the Python
-    # stages (at exactly 1 task/core one slow task idles every other core)
+    # stages (at exactly 1 task/core one slow task idles every other core).
+    # MEASURED round 3 at 16 cores / 329k docs: MULT=1 41.5-56.7 s,
+    # MULT=2 38.9 s, MULT=3 38.0 s; at 4 cores MULT=2 is neutral and
+    # MULT=3 is 16% WORSE (task overhead) -> default 2.
     width = spark.sparkContext.defaultParallelism * int(
-        os.environ.get("SPARK_GRAFT_WIDTH_MULT", "1")
+        os.environ.get("SPARK_GRAFT_WIDTH_MULT", "2")
     )
     pages = pages_from_documents(spark, sf_dir, num_partitions=width)
     if REPLICATE > 1:
@@ -340,7 +343,9 @@ def main() -> None:
     spark = build_session(
         app_name="nary-kg-bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(int(CPUS), 8),
+        shuffle_partitions=int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTS", str(max(int(CPUS), 8))
+        )),
         extra_confs={
             "spark.ui.enabled": "false",
             "spark.driver.memory": "16g",

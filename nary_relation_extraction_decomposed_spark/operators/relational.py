@@ -47,7 +47,14 @@ def asof_join(
 
     Deterministic given a tie_breaker column (ties on right_ts resolve to
     the greatest tie_breaker). At scale prefer bucketing both sides on
-    `on` so the shuffle is co-located; AQE splits skewed keys."""
+    `on` so the shuffle is co-located; AQE splits skewed keys.
+
+    One semantic edge where the strategies differ: EXACT duplicate left
+    rows. The rank path windows over all left columns, so duplicates
+    collapse to one output row; the sort path keeps each duplicate (each
+    gets the same match) — the more faithful reading of per-row as-of.
+    With any unique left key (every real caller here) they are identical,
+    which is what the equivalence pytest pins."""
     if strategy == "auto":
         mx = (
             right.groupBy(on).agg(F.count("*").alias("_c"))

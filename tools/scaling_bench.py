@@ -96,8 +96,12 @@ def main() -> None:
     n_small = int(os.environ.get("SCALING_N", "4"))
     n_large = n_small * 4
     runs = {}
-    for cpus in (n_small, n_large):
-        for repl in (REPL_SMALL, REPL_LARGE):
+    # decisive pair (large corpus at N then 4N) runs BACK TO BACK: this
+    # host's effective CPU budget drifts ~25% across ~10-minute windows
+    # without showing up as steal, so minutes between the two runs of a
+    # ratio inject more noise than steal does (round-3 samples C vs D)
+    for repl in (REPL_LARGE, REPL_SMALL):
+        for cpus in (n_small, n_large):
             runs[f"c{cpus}_r{repl}"] = run_bench(cpus, repl, sf_dir)
 
     big8 = runs[f"c{n_small}_r{REPL_LARGE}"]
