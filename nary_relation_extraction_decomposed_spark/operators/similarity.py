@@ -127,7 +127,11 @@ def ann_topk_lsh(
             F.explode(buckets).alias("bb"),
         ).select(f"{prefix}_id", f"{prefix}_vec", "bb.tbl", "bb.bucket")
 
-    q = broadcast(with_buckets(queries, "q"))
+    # NO broadcast hint on the query side (same reasoning as ann_topk_ivf):
+    # AQE broadcasts genuinely small query sets on its own, while a
+    # full-table self-query (the dedup shape) would force-ship the whole
+    # bucketed corpus to every executor — measured 43% slower at sf0.1
+    q = with_buckets(queries, "q")
     c = with_buckets(corpus, "n")
     cands = (
         c.join(q, ["tbl", "bucket"])

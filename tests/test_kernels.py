@@ -54,6 +54,57 @@ def test_tokenizer_offsets():
     assert toks == [("adri", 0, 4), ("vax", 5, 8), ("binds", 9, 14), ("gene7", 15, 20)]
 
 
+def test_enrichment_properties_random_layouts():
+    """Property over random mention layouts (hypothesis): the enriched
+    graph only ever SHORTENS paths — (a) co-mention alone never changes
+    the accepted pair set vs the base graph; (b) full enrichment accepts a
+    superset; (c) for pairs both accept, enriched path_len <= base."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nary_relation_extraction_decomposed_spark.operators.kernels import (
+        bfs_evidence,
+    )
+
+    types = ["DRUG", "GENE", "VARIANT", "OTHER"]
+    mention = st.tuples(
+        st.sampled_from(types), st.integers(0, 5), st.integers(0, 7)
+    )  # (ent_type, sent_id, tok_begin); tok span = 1 token
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(mention, min_size=0, max_size=10),
+        st.integers(6, 10),  # uniform sentence token count
+        st.integers(0, 14),  # token window
+    )
+    def prop(raw, ntoks, window):
+        n_sents = 6
+        ms = [
+            {"mention_id": i, "ent_type": t, "sent_id": s,
+             "tok_begin": min(tb, ntoks - 1), "tok_end": min(tb, ntoks - 1) + 1}
+            for i, (t, s, tb) in enumerate(raw)
+        ]
+        counts = [ntoks] * n_sents
+        slots = [("GENE", "a"), ("VARIANT", "b")]
+
+        def pairs(rows):
+            return {(r["pivot_mid"], r["other_mid"]): r["path_len"] for r in rows}
+
+        base = pairs(bfs_evidence(n_sents, ms, "DRUG", slots,
+                                  co_mention_edges=False, token_window=None))
+        co = pairs(bfs_evidence(n_sents, ms, "DRUG", slots,
+                                co_mention_edges=True, token_window=None))
+        rich = pairs(bfs_evidence(n_sents, ms, "DRUG", slots,
+                                  co_mention_edges=True, token_window=window,
+                                  sent_tok_counts=counts))
+        assert set(co) == set(base)                      # (a)
+        assert set(rich) >= set(base)                    # (b)
+        for k, d in base.items():                        # (c)
+            assert rich[k] <= d and co[k] <= d
+
+    prop()
+
+
 def test_gazetteer_longest_match():
     gaz = GazetteerIndex.build(
         [("adri vax", "D1", "DRUG"), ("adri", "D2", "DRUG"), ("brc7", "G1", "GENE")]

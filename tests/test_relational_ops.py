@@ -76,6 +76,29 @@ def test_asof_sort_equals_rank(spark):
         assert ra == rb and ra, direction
 
 
+def test_asof_tie_breaking_equivalence(spark):
+    """Deliberate right_ts ties (3 snapshots at the same timestamp): both
+    strategies must pick the greatest tie_breaker, both directions."""
+    left = spark.createDataFrame(
+        [("k", 10, 1), ("k", 5, 2), ("k", 4, 3)], "k string, lts int, lid int"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 100), ("k", 5, 101), ("k", 5, 102), ("k", 8, 200)],
+        "k string, rts int, rid int",
+    )
+    for direction, want in (("backward", {1: 200, 2: 102, 3: None}),
+                            ("forward", {1: None, 2: 102, 3: 102})):
+        for strat in ("rank", "sort"):
+            got = {
+                r["lid"]: r["rid"]
+                for r in R.asof_join(left, right, "k", "lts", "rts",
+                                     direction=direction, tie_breaker="rid",
+                                     strategy=strat).collect()
+            }
+            expect = {k: v for k, v in want.items() if v is not None}
+            assert got == expect, (direction, strat, got)
+
+
 def test_asof_sort_survives_long_history_key(spark):
     """10k snapshots on ONE key: the rank path would materialize ~left x
     right/2 pairs (quadratic per key); the sort path is one window pass.
