@@ -177,7 +177,10 @@ def bench_kg_heavy(spark, sf_dir: str) -> tuple[int, int]:
         pages_from_documents,
     )
 
-    width = spark.sparkContext.defaultParallelism
+    # 2 tasks/core: same straggler lesson as kg_pipeline (measured MULT
+    # sweep in BENCH/BASELINE.md round 3) — extraction tails especially,
+    # since heavy pages vary 10x in parse cost
+    width = spark.sparkContext.defaultParallelism * 2
     pages = pages_from_documents(spark, sf_dir, num_partitions=width)
     if HEAVY_REPL > 1:
         pages = pages.select(

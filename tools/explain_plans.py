@@ -27,6 +27,7 @@ CASES = [
     ("dedup_minhash", "explode + 64 min() aggregates stay in codegen"),
     ("salt_key", "two-phase skew aggregation: salted partial then merge"),
     ("set_ops", "union/intersect/except as one plan: agg-dedup, left-semi, left-anti branches"),
+    ("join_asof", "sort-based as-of (round 3): union of tagged sides -> ONE exchange on the key -> one window pass with last_value carry — NO join operator, no per-key fan-out; null-ts rows filtered at the scan (PushedFilters)"),
 ]
 
 
@@ -56,8 +57,47 @@ def main() -> None:
             f.write(f"\n## {key}\n\n*{why}*\n\n```\n{buf.getvalue().strip()}\n```\n")
         f.write(pipeline_plan_evidence(spark))
         f.write(aqe_skew_join_evidence(spark))
+        f.write(ivf_pruning_evidence(spark))
     print(f"wrote {out_path}")
     spark.stop()
+
+
+def ivf_pruning_evidence(spark) -> str:
+    """Round 3: the persisted IVF index (catalog.write_ivf_index, inverted
+    lists PARTITIONED BY cid) must let a probe query prune at the SCAN —
+    the plan's lists scan should carry a dynamicpruningexpression on cid,
+    so only n_probe/nlist of the index bytes are read."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.operators import similarity as S
+    from nary_relation_extraction_decomposed_spark.plans.catalog import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent, lists = S.ivf_index(em, nlist=8, lloyd_iters=1)
+    write_ivf_index(cent, lists, "/tmp/ivf_plan_audit")
+    stored = read_ivf_index(spark, "/tmp/ivf_plan_audit")
+    q = em.filter(F.col("vec_id") < 3)
+    res = S.ann_topk_ivf(None, q, k=5, n_probe=2, index=stored)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res.explain("formatted")
+    scans = [b for b in buf.getvalue().split("\n\n")
+             if "Scan parquet" in b and "ivf_plan_audit/lists" in b]
+    body = "\n\n".join(scans) if scans else buf.getvalue()[:1500]
+    pruned = "dynamicpruning" in buf.getvalue()
+    return (
+        "\n## IVF stored-index probe (round 3) — cid partition pruning\n\n"
+        "*Query probes n_probe=2 of nlist=8 cid-partitioned lists; the "
+        "lists scan must show a dynamic partition-pruning filter on cid. "
+        f"`dynamicpruning` present = **{pruned}**.*\n\n"
+        f"```\n{body.strip()}\n```\n"
+    )
 
 
 def pipeline_plan_evidence(spark) -> str:
