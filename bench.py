@@ -68,10 +68,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     import pyspark.sql.functions as F
 
     from nary_relation_extraction_decomposed_spark.operators.graph import (
-        doc_graph_subrels_tagged,
-    )
-    from nary_relation_extraction_decomposed_spark.operators.mentions import (
-        detect_and_analyze_tagged,
+        doc_kg_combined,
+        evidence_from_combined,
     )
     from nary_relation_extraction_decomposed_spark.operators.textprep import (
         dedup_latest_text,
@@ -112,12 +110,13 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     docs = dedup_latest_text(
         resolve_text(filter_pages(pages, "en")), num_partitions=width
     ).persist()
-    # FUSED path: detection + sentence analysis emit the tagged stream in
-    # ONE docs pass; the graph stage consumes it directly (equivalence vs
-    # the unfused operators pinned in tests/test_graph_enrichment.py)
-    tagged = detect_and_analyze_tagged(docs, _gaz_df(spark), PRED_WORDS)
-    ev = doc_graph_subrels_tagged(
-        tagged, "PIV", [("ARGA", "a"), ("ARGB", "b")], num_partitions=width
+    # FULLY-fused path (the run_pipeline default): detection + sentence
+    # analysis + graph BFS in ONE mapInPandas, ZERO shuffles docs->evidence
+    # (dedup left one row per url; equivalence vs the staged operators
+    # pinned in tests/test_graph_enrichment.py)
+    ev = evidence_from_combined(
+        doc_kg_combined(docs, _gaz_df(spark), PRED_WORDS, "PIV",
+                        [("ARGA", "a"), ("ARGB", "b")])
     )
     sr = subrels_from_evidence(ev)
     rules = spark.createDataFrame(

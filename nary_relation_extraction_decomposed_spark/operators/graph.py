@@ -221,6 +221,131 @@ def doc_graph_subrels_tagged(
     return tagged.mapInPandas(batches, schema=EVIDENCE_SUBREL_SCHEMA)
 
 
+# one row stream for the FULLY-fused pass: kind 0 = sentence, 1 = mention,
+# 2 = evidence(+decomposition attrs). Everything run_pipeline needs from a
+# document comes out of ONE mapInPandas crossing with NO shuffle (after
+# dedup_latest_text each url is exactly one input row, so no url grouping
+# is required at all — the tagged path's repartition+sort exists only for
+# inputs whose per-url rows arrive scattered).
+COMBINED_SCHEMA = (
+    "url string, kind int, sent_id int, mention_id int, ent_id string, "
+    "ent_type string, surface string, surface_norm string, begin int, "
+    "end int, tok_begin int, tok_end int, n_tokens int, pred string, "
+    "pivot_mid int, pivot_norm string, pivot_sent int, other_mid int, "
+    "other_norm string, slot string, path_len int, path array<int>"
+)
+
+_COMBINED_COLS = [c.split()[0] for c in COMBINED_SCHEMA.split(", ")]
+
+
+def doc_kg_combined(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    pred_vocab: list[str],
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    max_path_len: int = MAX_PATH_LEN,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
+) -> DataFrame:
+    """Detection + sentence analysis + graph BFS fused into ONE mapInPandas
+    over docs(url, text) — ZERO shuffles from docs to evidence.
+
+    Requires one row per url (dedup_latest_text's contract): each input row
+    is a complete document, so the per-doc graph never spans partitions and
+    the tagged path's repartition(n, url) + sortWithinPartitions + batch
+    carry are all unnecessary. Returns the COMBINED_SCHEMA union stream;
+    mentions_/sentences_/evidence_from_combined below recover the unfused
+    frames by filter+project. Semantics are pinned equal to the staged
+    operators in tests/test_graph_enrichment.py."""
+    from .mentions import build_gazetteer_index
+    from .kernels import detect_mentions_in_text, sentence_predicates
+
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(build_gazetteer_index(gazetteer))
+    vocab = frozenset(pred_vocab)
+    cols = _COMBINED_COLS
+    m_cols = ["mention_id", "ent_id", "ent_type", "surface", "surface_norm",
+              "begin", "end", "tok_begin", "tok_end"]
+    ev_cols = ["pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
+               "other_norm", "slot", "path_len", "path"]
+
+    def batches(it):
+        gaz = bc.value
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(url, kind, **vals):
+                out["url"].append(url)
+                out["kind"].append(kind)
+                for c in cols[2:]:
+                    out[c].append(vals.get(c))
+
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not isinstance(text, str):
+                    text = ""
+                sents = sentence_predicates(text, vocab)
+                for s in sents:
+                    emit(url, 0, sent_id=s["sent_id"],
+                         n_tokens=s["n_tokens"], pred=s["pred"])
+                if not text:
+                    continue
+                ms = detect_mentions_in_text(text, gaz)
+                for m in ms:
+                    emit(url, 1, sent_id=m["sent_id"],
+                         **{c: m[c] for c in m_cols})
+                if not ms:
+                    continue
+                by_mid = {m["mention_id"]: m for m in ms}
+                pred_of_sent = {s["sent_id"]: s["pred"] for s in sents}
+                for r in bfs_evidence(
+                    len(sents), ms, pivot_type, arg_slots, max_path_len,
+                    co_mention_edges, token_window,
+                    [s["n_tokens"] for s in sents],
+                ):
+                    pm = by_mid[r["pivot_mid"]]
+                    emit(url, 2,
+                         pivot_mid=r["pivot_mid"],
+                         pivot_norm=pm["surface_norm"],
+                         pivot_sent=pm["sent_id"],
+                         other_mid=r["other_mid"],
+                         other_norm=by_mid[r["other_mid"]]["surface_norm"],
+                         slot=r["slot"],
+                         pred=pred_of_sent.get(pm["sent_id"]),
+                         path_len=r["path_len"],
+                         path=r["path"])
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("url", "text").mapInPandas(batches, schema=COMBINED_SCHEMA)
+
+
+def mentions_from_combined(combined: DataFrame) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return combined.filter(F.col("kind") == 1).select(
+        "url", "mention_id", "ent_id", "ent_type", "surface",
+        "surface_norm", "begin", "end", "sent_id", "tok_begin", "tok_end",
+    )
+
+
+def sentences_from_combined(combined: DataFrame) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    return combined.filter(F.col("kind") == 0).select(
+        "url", "sent_id", "n_tokens", "pred"
+    )
+
+
+def evidence_from_combined(combined: DataFrame) -> DataFrame:
+    """EVIDENCE_SUBREL_SCHEMA view (same columns as doc_graph_subrels)."""
+    import pyspark.sql.functions as F
+
+    return combined.filter(F.col("kind") == 2).select(
+        "url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
+        "other_norm", "slot", "pred", "path_len", "path",
+    )
+
+
 def doc_graph_evidence(
     mentions: DataFrame,
     sentences: DataFrame,

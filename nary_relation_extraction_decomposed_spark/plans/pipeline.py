@@ -4,11 +4,13 @@ pages(url, warc_ts, html, text, lang)
   -> filter (lang/null, pre-UDF so it pushes into the scan)
   -> dedup latest per url (deterministic row_number)
   -> resolve text (frozen extractor, mapInPandas; drops html)
-  -> FUSED tagged stream (default): mentions + sentence analysis in ONE
-     mapInPandas pass (broadcast gazetteer); mentions/sentences recovered
-     by filter+project; unfused two-pass path kept for checkpointing
-  -> doc-graph BFS evidence (mapInPandas over the url-sorted tagged rows;
-     enriched graph: co-mention + token-window edges, default ON)
+  -> FUSED combined pass (default): mention detection + sentence analysis
+     + per-doc graph BFS in ONE mapInPandas (broadcast gazetteer) — zero
+     shuffles docs->evidence, since dedup leaves one row per url;
+     mentions/sentences/evidence recovered by filter+project. Unfused
+     staged path kept for checkpointing (and for tagged streams whose
+     per-url rows arrive scattered: graph.doc_graph_subrels_tagged).
+     Enriched graph: co-mention + token-window edges, default ON.
   -> binary sub-relations (DataFrame joins; this IS the n-ary decomposition)
   -> ER canonical map (MinHash-LSH + connected components)
   -> rejoin into (subj, pred, obj) triples + support
@@ -64,10 +66,12 @@ class PipelineConfig:
     # see operators/kernels.bfs_evidence
     co_mention_edges: bool = True
     token_window: int | None = TOKEN_WINDOW
-    # fused default: detection + sentence analysis emit ONE tagged stream
-    # in a single Python crossing; mentions/sentences/ER all recover from
-    # it by filter+project. The checkpointed runner keeps unfused stages
-    # (per-stage manifests need stage-granular artifacts).
+    # fused default: detection + sentence analysis + graph BFS run in ONE
+    # mapInPandas over the deduped docs (zero shuffles docs->evidence;
+    # valid because dedup leaves one row per url); mentions/sentences/
+    # evidence/ER all recover from the combined stream by filter+project.
+    # The checkpointed runner keeps unfused stages (per-stage manifests
+    # need stage-granular artifacts).
     fused: bool = True
     # partitioning floor for Python-heavy stages (None -> 2x cores); see
     # operators/graph.py on why AQE byte-coalescing must not size these
@@ -179,20 +183,22 @@ def run_pipeline(
     docs = textprep.dedup_latest_text(resolved, num_partitions=width).persist()
 
     if config.fused:
-        # ONE Python crossing: the tagged stream feeds the graph stage
-        # directly AND recovers mentions/sentences by filter+project.
-        # persist: referenced by evidence, ER, and the result surface.
-        tagged = M.detect_and_analyze_tagged(
-            docs, gazetteer, list(config.pred_vocab)
-        ).persist()
-        ments = M.mentions_view(tagged)
-        sents = M.sentences_view(tagged)
-        ev = graph.doc_graph_subrels_tagged(
-            tagged, config.pivot_type, list(config.arg_slots),
-            config.max_path_len, num_partitions=width,
+        # ONE Python crossing and ZERO shuffles from docs to evidence:
+        # dedup_latest_text leaves exactly one row per url, so detection +
+        # sentence analysis + per-doc graph BFS all run inside a single
+        # mapInPandas (graph.doc_kg_combined); mentions/sentences/evidence
+        # and the ER surface recover by filter+project. persist: the
+        # combined stream is referenced by all of them.
+        combined = graph.doc_kg_combined(
+            docs, gazetteer, list(config.pred_vocab),
+            config.pivot_type, list(config.arg_slots),
+            config.max_path_len,
             co_mention_edges=config.co_mention_edges,
             token_window=config.token_window,
-        )
+        ).persist()
+        ments = graph.mentions_from_combined(combined)
+        sents = graph.sentences_from_combined(combined)
+        ev = graph.evidence_from_combined(combined)
     else:
         ments = M.detect_mentions(docs, gazetteer)
         sents = M.analyze_sentences(docs, list(config.pred_vocab))

@@ -146,6 +146,52 @@ def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
     assert sv == {tuple(r) for r in sents.collect()} and sv
 
 
+def test_combined_pass_equals_staged_operators(spark, fixture_dir):
+    """doc_kg_combined (ONE mapInPandas, ZERO shuffles docs->evidence —
+    valid because dedup leaves one row per url) must reproduce the staged
+    operators' mentions, sentences, AND evidence frames exactly."""
+    from nary_relation_extraction_decomposed_spark.operators.graph import (
+        doc_graph_subrels,
+        doc_kg_combined,
+        evidence_from_combined,
+        mentions_from_combined,
+        sentences_from_combined,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.mentions import (
+        analyze_sentences,
+        detect_mentions,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.textprep import (
+        dedup_latest_text,
+        filter_pages,
+        resolve_text,
+    )
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    docs = dedup_latest_text(resolve_text(filter_pages(pages, "en")))
+    slots = [("GENE", "a"), ("VARIANT", "b")]
+    vocab = ["inhibits", "activates", "binds", "modulates"]
+
+    combined = doc_kg_combined(docs, gaz, vocab, "DRUG", slots)
+
+    ments = detect_mentions(docs, gaz)
+    assert {tuple(r) for r in mentions_from_combined(combined).collect()} == {
+        tuple(r) for r in ments.collect()
+    }
+    sents = analyze_sentences(docs, vocab)
+    assert {tuple(r) for r in sentences_from_combined(combined).collect()} == {
+        tuple(r) for r in sents.collect()
+    }
+    ev_cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
+               "other_norm", "slot", "pred", "path_len"]
+    staged = doc_graph_subrels(ments, sents, "DRUG", slots)
+    a = {tuple(r) for r in staged.select(*ev_cols).collect()}
+    b = {tuple(r) for r in evidence_from_combined(combined).select(*ev_cols).collect()}
+    assert a == b and len(a) > 100
+
+
 def test_fused_pipeline_equals_unfused(spark, fixture_dir):
     """run_pipeline's fused default == the unfused pipeline end to end
     (triples with support)."""
