@@ -57,8 +57,11 @@ MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 # entries longer than this always get a SECOND draw (min kept): this host's
 # effective CPU budget drifts ~25% across ~10-min windows WITHOUT showing
 # as steal (BENCH/BASELINE.md round 3), so steal alone can't defend a
-# long-running entry against one slow-budget window
-LONG_ENTRY_MIN2_SEC = float(os.environ.get("SPARK_GRAFT_LONG_ENTRY_SEC", "15"))
+# long-running entry against one slow-budget window. 5 s (was 15 in r3):
+# the r3 driver sample committed a single-draw 14.3 s kg_pipeline against a
+# double-drawn 7.7 s capability because 14.3 < 15 escaped the second draw
+# (VERDICT r3) — now every multi-second entry draws at least twice
+LONG_ENTRY_MIN2_SEC = float(os.environ.get("SPARK_GRAFT_LONG_ENTRY_SEC", "5"))
 
 
 def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:

@@ -30,6 +30,7 @@ from nary_relation_extraction_decomposed_spark.operators.kernels import (
     GazetteerIndex,
     bfs_evidence,
     detect_mentions_in_text,
+    nearest_pred,
     sentence_predicates,
 )
 
@@ -80,7 +81,7 @@ def make_entities(rng: np.random.RandomState) -> list[Entity]:
     } | {"patients", "carrying", "effect", "observed", "expression", "varies",
          "with", "in", "resistant", "cases", "this", "appears", "of", "levels",
          "were", "recorded", "was", "tested", "alone", "is", "a", "gene",
-         "report", "nothing", "here"}
+         "report", "nothing", "here", "treatment", "response", "whereas"}
     used_shingles: list[list[str]] = []
 
     def admit(name: str) -> bool:
@@ -231,10 +232,20 @@ def generate_pages(n_pages: int = 2000, seed: int = SEED) -> dict:
         n_items = rng.randint(2, 6)
         for _ in range(n_items):
             roll = rng.rand()
-            if roll < 0.30:  # n-ary, same sentence
+            if roll < 0.22:  # n-ary, same sentence
                 d, g, v, p = _pick(rng, drugs), _pick(rng, genes), _pick(rng, variants), _pick(rng, list(PRED_VOCAB))
                 sents.append(
                     f"{_surface(rng, d)} {p} {_surface(rng, g)} in patients carrying {_surface(rng, v)}."
+                )
+            elif roll < 0.30:  # MULTI-predicate sentence: the sentence-initial
+                # pred (p1) governs the gene clause, the pivot's own pred
+                # (p2) sits next to it — nearest-predicate attachment must
+                # pick p2 where a first-token rule would misassign p1
+                d, g, v = _pick(rng, drugs), _pick(rng, genes), _pick(rng, variants)
+                p1, p2 = _pick(rng, list(PRED_VOCAB)), _pick(rng, list(PRED_VOCAB))
+                sents.append(
+                    f"{_surface(rng, g)} {p1} treatment response whereas "
+                    f"{_surface(rng, d)} {p2} {_surface(rng, v)} in cases."
                 )
             elif roll < 0.50:  # n-ary, cross-sentence (adjacent)
                 d, g, v, p = _pick(rng, drugs), _pick(rng, genes), _pick(rng, variants), _pick(rng, list(PRED_VOCAB))
@@ -306,6 +317,7 @@ def compute_goldens(
     max_path_len: int = 3,
     co_mention_edges: bool = True,
     token_window: int | None = None,
+    pred_attachment: str = "nearest",
 ) -> dict:
     """Plain-Python reference run over the generated pages: returns dicts of
     golden_text, golden_mentions, golden_evidence, golden_triples,
@@ -379,13 +391,24 @@ def compute_goldens(
                 {"url": url, "m1": r["pivot_mid"], "m2": r["other_mid"],
                  "slot": r["slot"], "path_len": r["path_len"]}
             )
-        # subrels + rejoin (sim of the DataFrame joins)
+        # subrels + rejoin (sim of the DataFrame joins); the predicate is
+        # attached per PIVOT MENTION — nearest vocab token to the pivot's
+        # span (kernels.nearest_pred), not the sentence's first
         by_mid = {m["mention_id"]: m for m in ments}
-        pred_of_sent = {s["sent_id"]: s["pred"] for s in sents}
+        preds_of_sent = {
+            s["sent_id"]: (s["preds"], s["pred_toks"]) for s in sents
+        }
         subrels = []
         for r in ev:
             pm = by_mid[r["pivot_mid"]]
-            pred = pred_of_sent.get(pm["sent_id"])
+            sp = preds_of_sent.get(pm["sent_id"])
+            if sp is None:
+                pred = None
+            elif pred_attachment == "first":  # pre-round-4 rule, kept so
+                # tools/predicate_delta.py can measure the attachment shift
+                pred = sp[0][0] if len(sp[0]) else None
+            else:
+                pred = nearest_pred(sp[0], sp[1], pm["tok_begin"], pm["tok_end"])
             if pred is None:
                 continue
             subrels.append(

@@ -181,9 +181,15 @@ def simhash_near_pairs(
     on (band, key) -> size-capped member array -> in-array pair expansion).
     A degenerate hot band — simhash=0 from empty/boilerplate docs is
     GUARANTEED at web scale — previously equi-joined quadratically onto one
-    reducer; now buckets larger than MAX_BLOCK_SIZE are dropped
-    deterministically (the affected docs still pair through their other,
-    non-degenerate bands, identical to the MinHash-LSH recall trade)."""
+    reducer. Buckets larger than MAX_BLOCK_SIZE are TRUNCATED to their
+    first MAX_BLOCK_SIZE members (array_sort makes the sample
+    deterministic: smallest (id, simhash) survive), not dropped: a cluster
+    of > MAX_BLOCK_SIZE documents with IDENTICAL simhash is over-cap in
+    every band, so a drop would silently yield zero pairs for exactly the
+    most-duplicated content. Truncation keeps such clusters discoverable
+    (the sampled members pair; connected components over the pairs still
+    merges them) at bounded cost; full within-cluster coverage for
+    byte-identical content is exact_dedup's job — run it first."""
     if band_bits is None:
         band_bits = max(64 // (max_hamming + 1), 1)
     bands = sigs.select(
@@ -210,7 +216,9 @@ def simhash_near_pairs(
                 F.collect_list(F.struct(F.col("id"), F.col("simhash")))
             ).alias("members")
         )
-        .filter((F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE))
+        .filter(F.size("members") >= 2)
+        # over-cap buckets: deterministic truncation, not a drop (docstring)
+        .withColumn("members", F.slice("members", 1, MAX_BLOCK_SIZE))
     )
     pair_arr = F.flatten(
         F.transform(

@@ -17,7 +17,20 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from .kernels import MAX_PATH_LEN, TOKEN_WINDOW, bfs_evidence
+from .kernels import MAX_PATH_LEN, TOKEN_WINDOW, bfs_evidence, nearest_pred
+
+
+def _tok_counts(toks_of_sent: dict, n_sents: int) -> list:
+    """Per-sentence token counts for the token-window edges, with None (not
+    0) for sentences absent from the sentence rows — a fabricated 0 count
+    would turn the cross-boundary gap negative on the fallback path where
+    n_sents is derived from mentions, inventing proximity edges (NaN from
+    pandas null int columns is treated as unknown too)."""
+    out = []
+    for i in range(n_sents):
+        v = toks_of_sent.get(i)
+        out.append(int(v) if v is not None and v == v else None)
+    return out
 
 EVIDENCE_SCHEMA = (
     "url string, pivot_mid int, other_mid int, slot string, "
@@ -34,14 +47,16 @@ EVIDENCE_SUBREL_SCHEMA = (
 )
 
 
-# kind 0 = sentence rows (n_tokens, pred set), kind 1 = FULL mention rows
-# (every MENTIONS_SCHEMA column) — wide enough that mentions_view /
-# sentences_view recover the unfused frames by filter+project, so ONE
-# Python crossing serves graph, ER, and result surfaces
+# kind 0 = sentence rows (n_tokens, pred, preds/pred_toks set), kind 1 =
+# FULL mention rows (every MENTIONS_SCHEMA column) — wide enough that
+# mentions_view / sentences_view recover the unfused frames by
+# filter+project, so ONE Python crossing serves graph, ER, and result
+# surfaces
 TAGGED_SCHEMA = (
     "url string, kind int, sent_id int, mention_id int, ent_id string, "
     "ent_type string, surface string, surface_norm string, begin int, "
-    "end int, tok_begin int, tok_end int, n_tokens int, pred string"
+    "end int, tok_begin int, tok_end int, n_tokens int, pred string, "
+    "preds array<string>, pred_toks array<int>"
 )
 
 
@@ -81,6 +96,8 @@ def doc_graph_subrels(
         F.lit(None).cast("int").alias("tok_end"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.col("pred"),
+        F.col("preds"),
+        F.col("pred_toks").cast("array<int>").alias("pred_toks"),
     ).unionByName(
         mentions.select(
             "url",
@@ -97,6 +114,8 @@ def doc_graph_subrels(
             F.col("tok_end").cast("int").alias("tok_end"),
             F.lit(None).cast("int").alias("n_tokens"),
             F.lit(None).cast("string").alias("pred"),
+            F.lit(None).cast("array<string>").alias("preds"),
+            F.lit(None).cast("array<int>").alias("pred_toks"),
         )
     )
     return doc_graph_subrels_tagged(
@@ -129,7 +148,7 @@ def doc_graph_subrels_tagged(
     # and the Arrow crossing for nothing
     tagged = tagged.select(
         "url", "kind", "sent_id", "mention_id", "ent_type", "surface_norm",
-        "tok_begin", "tok_end", "n_tokens", "pred",
+        "tok_begin", "tok_end", "n_tokens", "preds", "pred_toks",
     )
     tagged = tagged.repartition(num_partitions, "url").sortWithinPartitions(
         "url", "kind", "mention_id"
@@ -147,11 +166,11 @@ def doc_graph_subrels_tagged(
             n_sents = len(srows)
             if n_sents == 0:
                 n_sents = int(mrows["sent_id"].max()) + 1
-            pred_of_sent = dict(zip(srows["sent_id"], srows["pred"]))
+            preds_of_sent = dict(zip(
+                srows["sent_id"], zip(srows["preds"], srows["pred_toks"])
+            ))
             toks_of_sent = dict(zip(srows["sent_id"], srows["n_tokens"]))
-            sent_tok_counts = [
-                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
-            ]
+            sent_tok_counts = _tok_counts(toks_of_sent, n_sents)
             ms = [
                 {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid),
                  "surface_norm": sn, "tok_begin": int(tb), "tok_end": int(te)}
@@ -167,9 +186,10 @@ def doc_graph_subrels_tagged(
                                   co_mention_edges, token_window,
                                   sent_tok_counts):
                 pm = by_mid[r["pivot_mid"]]
-                pred = pred_of_sent.get(pm["sent_id"])
-                if isinstance(pred, float):  # pandas NaN for null preds
-                    pred = None
+                sp = preds_of_sent.get(pm["sent_id"])
+                pred = nearest_pred(
+                    sp[0], sp[1], pm["tok_begin"], pm["tok_end"]
+                ) if sp is not None else None
                 out["url"].append(url)
                 out["pivot_mid"].append(r["pivot_mid"])
                 out["pivot_norm"].append(pm["surface_norm"])
@@ -231,6 +251,7 @@ COMBINED_SCHEMA = (
     "url string, kind int, sent_id int, mention_id int, ent_id string, "
     "ent_type string, surface string, surface_norm string, begin int, "
     "end int, tok_begin int, tok_end int, n_tokens int, pred string, "
+    "preds array<string>, pred_toks array<int>, "
     "pivot_mid int, pivot_norm string, pivot_sent int, other_mid int, "
     "other_norm string, slot string, path_len int, path array<int>"
 )
@@ -287,7 +308,8 @@ def doc_kg_combined(
                 sents = sentence_predicates(text, vocab)
                 for s in sents:
                     emit(url, 0, sent_id=s["sent_id"],
-                         n_tokens=s["n_tokens"], pred=s["pred"])
+                         n_tokens=s["n_tokens"], pred=s["pred"],
+                         preds=s["preds"], pred_toks=s["pred_toks"])
                 if not text:
                     continue
                 ms = detect_mentions_in_text(text, gaz)
@@ -297,13 +319,16 @@ def doc_kg_combined(
                 if not ms:
                     continue
                 by_mid = {m["mention_id"]: m for m in ms}
-                pred_of_sent = {s["sent_id"]: s["pred"] for s in sents}
+                preds_of_sent = {
+                    s["sent_id"]: (s["preds"], s["pred_toks"]) for s in sents
+                }
                 for r in bfs_evidence(
                     len(sents), ms, pivot_type, arg_slots, max_path_len,
                     co_mention_edges, token_window,
                     [s["n_tokens"] for s in sents],
                 ):
                     pm = by_mid[r["pivot_mid"]]
+                    sp = preds_of_sent.get(pm["sent_id"])
                     emit(url, 2,
                          pivot_mid=r["pivot_mid"],
                          pivot_norm=pm["surface_norm"],
@@ -311,7 +336,9 @@ def doc_kg_combined(
                          other_mid=r["other_mid"],
                          other_norm=by_mid[r["other_mid"]]["surface_norm"],
                          slot=r["slot"],
-                         pred=pred_of_sent.get(pm["sent_id"]),
+                         pred=nearest_pred(
+                             sp[0], sp[1], pm["tok_begin"], pm["tok_end"]
+                         ) if sp is not None else None,
                          path_len=r["path_len"],
                          path=r["path"])
             yield pd.DataFrame(out, columns=cols)
@@ -332,7 +359,7 @@ def sentences_from_combined(combined: DataFrame) -> DataFrame:
     import pyspark.sql.functions as F
 
     return combined.filter(F.col("kind") == 0).select(
-        "url", "sent_id", "n_tokens", "pred"
+        "url", "sent_id", "n_tokens", "pred", "preds", "pred_toks"
     )
 
 
@@ -409,9 +436,7 @@ def doc_graph_evidence(
             if n_sents == 0:
                 n_sents = int(mrows["sent_id"].max()) + 1
             toks_of_sent = dict(zip(srows["sent_id"], srows["n_tokens"]))
-            sent_tok_counts = [
-                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
-            ]
+            sent_tok_counts = _tok_counts(toks_of_sent, n_sents)
             ms = [
                 {"mention_id": int(mid), "ent_type": et, "sent_id": int(sid),
                  "tok_begin": int(tb), "tok_end": int(te)}
@@ -506,9 +531,7 @@ def doc_graph_evidence_cogroup(
                 dict(zip(s_pdf["sent_id"], s_pdf["n_tokens"]))
                 if not s_pdf.empty else {}
             )
-            sent_tok_counts = [
-                int(toks_of_sent.get(i) or 0) for i in range(n_sents)
-            ]
+            sent_tok_counts = _tok_counts(toks_of_sent, n_sents)
             ms = [
                 {"mention_id": int(r.mention_id), "ent_type": r.ent_type,
                  "sent_id": int(r.sent_id), "tok_begin": int(r.tok_begin),

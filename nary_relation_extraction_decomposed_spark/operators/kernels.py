@@ -148,14 +148,60 @@ def detect_mentions_in_text(text: str, gaz: GazetteerIndex) -> list[dict]:
 
 
 def sentence_predicates(text: str, pred_vocab: frozenset[str]) -> list[dict]:
-    """One row per sentence: {sent_id, n_tokens, pred} where pred is the
-    FIRST token of the sentence found in pred_vocab (None if absent)."""
+    """One row per sentence: {sent_id, n_tokens, pred, preds, pred_toks}.
+
+    pred = the FIRST pred-vocab token of the sentence (None if absent) —
+    the sentence-level summary attribute. preds/pred_toks = ALL pred-vocab
+    tokens with their TOKEN indexes, in order: the inputs to the
+    nearest-predicate attachment rule (nearest_pred below), which resolves
+    the evidence predicate per PIVOT MENTION rather than per sentence."""
     rows = []
     for sent_id, line in enumerate(split_sentences(text)):
         toks = tokenize_with_offsets(line)
-        pred = next((t[0] for t in toks if t[0] in pred_vocab), None)
-        rows.append({"sent_id": sent_id, "n_tokens": len(toks), "pred": pred})
+        preds = [(i, t[0]) for i, t in enumerate(toks) if t[0] in pred_vocab]
+        rows.append(
+            {
+                "sent_id": sent_id,
+                "n_tokens": len(toks),
+                "pred": preds[0][1] if preds else None,
+                "preds": [p for _, p in preds],
+                "pred_toks": [i for i, _ in preds],
+            }
+        )
     return rows
+
+
+def nearest_pred(
+    preds: list[str] | None,
+    pred_toks: list[int] | None,
+    tok_begin: int,
+    tok_end: int,
+) -> str | None:
+    """Predicate-attachment rule (round 4 — the final dependency-free
+    refinement of the doc graph's dependency/coref stand-in): the evidence
+    predicate for a pivot mention is the pred-vocab token NEAREST to the
+    mention's token span [tok_begin, tok_end) within its sentence, not the
+    sentence's first pred token — on a multi-predicate sentence
+    ("X inhibits G whereas D activates V") the first-token rule misassigns
+    every pivot to the sentence-initial predicate, while a dependency parse
+    would attach each argument to its governing verb; token proximity is
+    the deterministic, dependency-free proxy for that attachment.
+
+    Distance = 0 if the token is inside the span, else gap to the nearest
+    span edge; ties -> the EARLIER token position. None when the sentence
+    has no pred tokens. The SQL twin (zip_with + array_min over
+    struct(dist, tok, pred)) lives in triples.binary_subrels; the DuckDB
+    twin in plans/q_kg.py's decompose_nary oracle."""
+    # explicit len checks: preds arrives as a numpy array from Arrow batches,
+    # whose truthiness raises for length > 1
+    if preds is None or pred_toks is None or len(preds) == 0:
+        return None
+    best = None
+    for p, t in zip(preds, pred_toks):
+        d = max(tok_begin - t, t - (tok_end - 1), 0)
+        if best is None or (d, t) < best[0]:
+            best = ((d, t), p)
+    return best[1]
 
 
 def bfs_evidence(
@@ -166,7 +212,7 @@ def bfs_evidence(
     max_path_len: int = MAX_PATH_LEN,
     co_mention_edges: bool = True,
     token_window: int | None = TOKEN_WINDOW,
-    sent_tok_counts: list[int] | None = None,
+    sent_tok_counts: list[int | None] | None = None,
 ) -> list[dict]:
     """Per-document graph + BFS shortest-path evidence (replaces networkx).
 
@@ -188,7 +234,12 @@ def bfs_evidence(
     - token_window: mentions in ADJACENT sentences whose token gap across
       the boundary ((sent_toks - tok_end) + next's tok_begin) is <=
       token_window connect directly (needs sent_tok_counts + tok spans;
-      silently skipped when absent). These CAN change acceptance: two
+      silently skipped when absent). A sentence whose token count is
+      UNKNOWN (None entry in sent_tok_counts — e.g. the fallback path
+      that derives n_sents from mentions alone) creates no window edges
+      across its right boundary: a fabricated count of 0 would make the
+      cross-boundary gap negative and invent proximity edges the golden
+      kernel never had. These CAN change acceptance: two
       boundary-crossing hops chain a pivot to an argument two sentences
       away at path 2 where the base graph needs 4 — goldens are generated
       with the enriched graph (fixtures/corpus.py shares this kernel) and
@@ -222,6 +273,8 @@ def bfs_evidence(
             if not nxt or sent >= len(sent_tok_counts):
                 continue
             ntoks = sent_tok_counts[sent]
+            if ntoks is None:  # unknown count -> no edges across this boundary
+                continue
             for m1 in group:
                 t1e = m1.get("tok_end")
                 if t1e is None:

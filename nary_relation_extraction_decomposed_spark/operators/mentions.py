@@ -1,10 +1,23 @@
 """Entity-mention detection + sentence analysis (Arrow-vectorized).
 
-The gazetteer is collected once on the driver, built into a token-trie-style
-index, and BROADCAST to executors (sc.broadcast) — the classic small-dim
-pattern: millions of docs stream through mapInPandas while the dictionary
-lives once per executor, no shuffle, no join. At 100 TB the docs side stays
-fully parallel; the gazetteer (≤ tens of MB) is the broadcast side.
+Two detection strategies, auto-dispatched by dictionary size
+(detect_mentions_auto, mirroring relational.asof_join's dispatch):
+
+- BROADCAST (detect_mentions, the default): the gazetteer is collected once
+  on the driver, built into a token-trie-style index, and broadcast to
+  executors (sc.broadcast) — the classic small-dim pattern: millions of
+  docs stream through mapInPandas while the dictionary lives once per
+  executor, no shuffle, no join. Right whenever the dictionary fits driver
+  memory (≤ a few 10^6 surfaces / tens of MB).
+
+- JOIN (detect_mentions_join): a web-scale entity dictionary can be 10^8
+  surfaces — too big to collect on the driver at all. The join path never
+  materializes the dictionary anywhere: docs emit their token n-grams
+  (n = 1..MAX_GAZ_TOKENS) as candidate rows, an equi-join against the
+  gazetteer TABLE keeps the dictionary distributed (AQE picks
+  broadcast/SMJ by size), and a per-document greedy pass reproduces the
+  trie scan's longest-match-left-to-right/no-overlap semantics exactly
+  (pytest-pinned equal to the broadcast path, tests/test_gazetteer_join.py).
 """
 
 from __future__ import annotations
@@ -15,14 +28,29 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from .kernels import GazetteerIndex, detect_mentions_in_text, sentence_predicates
+from .kernels import (
+    MAX_GAZ_TOKENS,
+    MAX_MENTIONS_PER_DOC,
+    GazetteerIndex,
+    detect_mentions_in_text,
+    sentence_predicates,
+    split_sentences,
+    tokenize_with_offsets,
+)
 
 MENTIONS_SCHEMA = (
     "url string, mention_id int, ent_id string, ent_type string, "
     "surface string, surface_norm string, begin int, end int, sent_id int, "
     "tok_begin int, tok_end int"
 )
-SENTENCES_SCHEMA = "url string, sent_id int, n_tokens int, pred string"
+# pred = first vocab token (sentence-level summary); preds/pred_toks = ALL
+# vocab tokens + their token indexes, feeding the nearest-predicate
+# attachment rule (kernels.nearest_pred) that resolves the evidence
+# predicate per pivot mention
+SENTENCES_SCHEMA = (
+    "url string, sent_id int, n_tokens int, pred string, "
+    "preds array<string>, pred_toks array<int>"
+)
 
 
 def gazetteer_as_of(gazetteer: DataFrame, ts) -> DataFrame:
@@ -79,13 +107,176 @@ def detect_mentions(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
     return docs.select("url", "text").mapInPandas(batches, schema=MENTIONS_SCHEMA)
 
 
-def analyze_sentences(docs: DataFrame, pred_vocab: list[str]) -> DataFrame:
-    """docs(url, text) -> one row per sentence with its detected predicate
-    (first pred-vocab token) and token count (SENTENCES_SCHEMA)."""
-    vocab = frozenset(pred_vocab)
+def dedup_gazetteer_table(gazetteer: DataFrame) -> DataFrame:
+    """Distributed twin of GazetteerIndex.build's tie rule: one row per
+    surface_norm — the lexicographically smallest (ent_id, ent_type) wins —
+    with empty and over-MAX_GAZ_TOKENS surfaces dropped. min(struct(...))
+    orders field-wise, exactly like sorted() on the tuple."""
+    n_toks = F.size(F.split(F.col("surface_norm"), " "))
+    return (
+        gazetteer.filter(
+            (F.col("surface_norm") != "") & (n_toks <= MAX_GAZ_TOKENS)
+        )
+        .groupBy("surface_norm")
+        .agg(F.min(F.struct("ent_id", "ent_type")).alias("_m"))
+        .select("surface_norm", "_m.ent_id", "_m.ent_type")
+    )
+
+
+def _ngram_candidates(docs: DataFrame) -> DataFrame:
+    """docs(url, text) -> one row per (token position, n) candidate n-gram,
+    n = 1..MAX_GAZ_TOKENS, with the full mention payload (char offsets into
+    the doc, raw surface slice, token span). Map-only — linear in tokens x
+    MAX_GAZ_TOKENS, no dictionary anywhere."""
+    cols = ["url", "ngram", "sent_id", "tok_begin", "tok_end",
+            "begin", "end", "surface"]
+    schema = (
+        "url string, ngram string, sent_id int, tok_begin int, tok_end int, "
+        "begin int, end int, surface string"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "sent_id", "n_tokens", "pred"]
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in cols}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not isinstance(text, str) or not text:
+                    continue
+                offset = 0
+                for sent_id, line in enumerate(split_sentences(text)):
+                    toks = tokenize_with_offsets(line)
+                    n = len(toks)
+                    for i in range(n):
+                        for length in range(1, min(MAX_GAZ_TOKENS, n - i) + 1):
+                            begin = offset + toks[i][1]
+                            end = offset + toks[i + length - 1][2]
+                            out["url"].append(url)
+                            out["ngram"].append(
+                                " ".join(t[0] for t in toks[i:i + length])
+                            )
+                            out["sent_id"].append(sent_id)
+                            out["tok_begin"].append(i)
+                            out["tok_end"].append(i + length)
+                            out["begin"].append(begin)
+                            out["end"].append(end)
+                            out["surface"].append(text[begin:end])
+                    offset += len(line) + 1
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("url", "text").mapInPandas(batches, schema=schema)
+
+
+def detect_mentions_join(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """docs(url, text) -> mentions rows (MENTIONS_SCHEMA) WITHOUT ever
+    collecting the gazetteer: the scale path for dictionaries too large for
+    the driver/broadcast (10^8 surfaces at web scale).
+
+    Three stages, all distributed:
+    1. candidate n-grams: map-only emission of every 1..MAX_GAZ_TOKENS
+       token window per doc (linear; no dictionary involved);
+    2. dictionary match: equi-join candidates.ngram = gazetteer.surface_norm
+       (tie rule pre-applied by dedup_gazetteer_table) — Catalyst/AQE picks
+       broadcast vs shuffle join by actual size, no hint pinned;
+    3. greedy longest-match resolution per document: matched candidates
+       shuffle ONCE by url, sorted (url, sent_id, tok_begin, tok_end DESC);
+       a cursor sweep reproduces the trie scan exactly — at each position
+       the longest dictionary match wins and overlapped shorter matches are
+       skipped — then (begin, end) ordering, MAX_MENTIONS_PER_DOC
+       truncation and mention_id ordinals, identical to
+       detect_mentions_in_text (pinned in tests/test_gazetteer_join.py).
+
+    Cost note vs the broadcast path: one extra corpus-linear candidate
+    stream (~MAX_GAZ_TOKENS rows/token) + one join + one url shuffle of the
+    (sparse) matches. That is the right trade only when the dictionary
+    cannot be broadcast — detect_mentions_auto dispatches."""
+    gaz = dedup_gazetteer_table(gazetteer).withColumnRenamed(
+        "surface_norm", "ngram"
+    )
+    matched = _ngram_candidates(docs).join(gaz, "ngram")
+    width = docs.sparkSession.sparkContext.defaultParallelism * 2
+    matched = matched.repartition(width, "url").sortWithinPartitions(
+        "url", "sent_id", "tok_begin", F.col("tok_end").desc()
+    )
+
+    cols = [
+        "url", "mention_id", "ent_id", "ent_type", "surface",
+        "surface_norm", "begin", "end", "sent_id", "tok_begin", "tok_end",
+    ]
+
+    def resolve(pdf: pd.DataFrame, out: dict) -> None:
+        for url, grp in pdf.groupby("url", sort=False):
+            accepted = []
+            cur_sent, cursor = None, 0
+            for r in grp.itertuples():
+                if r.sent_id != cur_sent:
+                    cur_sent, cursor = r.sent_id, 0
+                if r.tok_begin >= cursor:  # longest-first within a position
+                    accepted.append(r)
+                    cursor = r.tok_end
+            accepted.sort(key=lambda r: (r.begin, r.end))
+            del accepted[MAX_MENTIONS_PER_DOC:]
+            for mid, r in enumerate(accepted):
+                out["url"].append(url)
+                out["mention_id"].append(mid)
+                out["ent_id"].append(r.ent_id)
+                out["ent_type"].append(r.ent_type)
+                out["surface"].append(r.surface)
+                out["surface_norm"].append(r.ngram)
+                out["begin"].append(int(r.begin))
+                out["end"].append(int(r.end))
+                out["sent_id"].append(int(r.sent_id))
+                out["tok_begin"].append(int(r.tok_begin))
+                out["tok_end"].append(int(r.tok_end))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in it:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_url = pdf["url"].iat[-1]
+            mask = pdf["url"].to_numpy() == last_url
+            carry = pdf[mask]
+            head = pdf[~mask]
+            if len(head):
+                out = {c: [] for c in cols}
+                resolve(head, out)
+                yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            out = {c: [] for c in cols}
+            resolve(carry, out)
+            yield pd.DataFrame(out, columns=cols)
+
+    return matched.mapInPandas(batches, schema=MENTIONS_SCHEMA)
+
+
+# above this many gazetteer rows, detect_mentions_auto stops collecting the
+# dictionary onto the driver and takes the join path (a row is ~100 bytes
+# indexed: 2M ~ 200 MB driver/executor resident — the broadcast ceiling)
+GAZETTEER_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def detect_mentions_auto(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    broadcast_max_rows: int = GAZETTEER_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Size-dispatched mention detection (the asof_join auto pattern): a
+    LIMIT-bounded probe (never a full count over a 10^8-row dictionary)
+    decides broadcast-trie vs distributed join."""
+    probe = gazetteer.select("surface_norm").limit(broadcast_max_rows + 1).count()
+    if probe <= broadcast_max_rows:
+        return detect_mentions(docs, gazetteer)
+    return detect_mentions_join(docs, gazetteer)
+
+
+def analyze_sentences(docs: DataFrame, pred_vocab: list[str]) -> DataFrame:
+    """docs(url, text) -> one row per sentence with its predicate summary
+    (first vocab token) plus all pred token positions (SENTENCES_SCHEMA)."""
+    vocab = frozenset(pred_vocab)
+    cols = ["url", "sent_id", "n_tokens", "pred", "preds", "pred_toks"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {c: [] for c in cols}
             for url, text in zip(pdf["url"], pdf["text"]):
@@ -93,9 +284,8 @@ def analyze_sentences(docs: DataFrame, pred_vocab: list[str]) -> DataFrame:
                     text = ""
                 for s in sentence_predicates(text, vocab):
                     out["url"].append(url)
-                    out["sent_id"].append(s["sent_id"])
-                    out["n_tokens"].append(s["n_tokens"])
-                    out["pred"].append(s["pred"])
+                    for c in cols[1:]:
+                        out[c].append(s[c])
             yield pd.DataFrame(out, columns=cols)
 
     return docs.select("url", "text").mapInPandas(batches, schema=SENTENCES_SCHEMA)
@@ -119,7 +309,8 @@ def detect_and_analyze_tagged(
     vocab = frozenset(pred_vocab)
     m_cols = ["mention_id", "ent_id", "ent_type", "surface", "surface_norm",
               "begin", "end", "tok_begin", "tok_end"]
-    cols = ["url", "kind", "sent_id", *m_cols, "n_tokens", "pred"]
+    s_cols = ["n_tokens", "pred", "preds", "pred_toks"]
+    cols = ["url", "kind", "sent_id", *m_cols, *s_cols]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = bc.value
@@ -134,8 +325,8 @@ def detect_and_analyze_tagged(
                     out["sent_id"].append(s["sent_id"])
                     for c in m_cols:
                         out[c].append(None)
-                    out["n_tokens"].append(s["n_tokens"])
-                    out["pred"].append(s["pred"])
+                    for c in s_cols:
+                        out[c].append(s[c])
                 if text:
                     for m in detect_mentions_in_text(text, gaz):
                         out["url"].append(url)
@@ -143,8 +334,8 @@ def detect_and_analyze_tagged(
                         out["sent_id"].append(m["sent_id"])
                         for c in m_cols:
                             out[c].append(m[c])
-                        out["n_tokens"].append(None)
-                        out["pred"].append(None)
+                        for c in s_cols:
+                            out[c].append(None)
             yield pd.DataFrame(out, columns=cols)
 
     from .graph import TAGGED_SCHEMA
@@ -164,7 +355,7 @@ def mentions_view(tagged: DataFrame) -> DataFrame:
 def sentences_view(tagged: DataFrame) -> DataFrame:
     """Recover the SENTENCES_SCHEMA frame from a tagged stream."""
     return tagged.filter(F.col("kind") == 0).select(
-        "url", "sent_id", "n_tokens", "pred"
+        "url", "sent_id", "n_tokens", "pred", "preds", "pred_toks"
     )
 
 

@@ -204,14 +204,18 @@ def count_distinct_skewsafe(
     the triple-support counter (operators/triples.py); a plain
     groupBy(group).agg(countDistinct(val)) plans an expand + full shuffle
     ON THE GROUP KEY, which a single hot domain at web scale overwhelms.
-    NULL vals are filtered first so the result matches countDistinct
-    exactly (count(*) over distinct rows would count NULL as a value);
-    the one remaining difference: a group whose vals are ALL NULL is
-    absent here, where countDistinct emits it with 0."""
+
+    EXACT countDistinct semantics, including NULLs: phase 2 counts
+    count(val) — not count(*) — over the distinct (group, val) rows, so a
+    NULL val never counts as a value, while the (group, NULL) row that
+    distinct keeps still materializes a group whose vals are ALL NULL with
+    n_distinct = 0 (groupBy+countDistinct parity; a NULL-filter-first
+    variant would drop such groups entirely, silently losing them for any
+    caller that joins on the result). The extra NULL row is at most one
+    per group and partially deduped map-side."""
     return (
         df.select(*group_cols, val_col)
-        .filter(F.col(val_col).isNotNull())
         .distinct()
         .groupBy(*group_cols)
-        .agg(F.count("*").alias("n_distinct"))
+        .agg(F.count(val_col).alias("n_distinct"))
     )

@@ -47,15 +47,21 @@ def binary_subrels(
     sub-relation: (url, pivot_mid, pivot_norm, other_mid, other_norm, slot,
     pred, subrel, path_len).
 
-    The sub-relation label is pred#slot where pred is the predicate of the
-    PIVOT mention's sentence; pairs whose pivot sentence has no predicate are
-    dropped (no relation signal).
+    The sub-relation label is pred#slot where pred is the pred-vocab token
+    NEAREST the PIVOT mention's token span within its sentence (ties ->
+    earliest token) — the SQL twin of kernels.nearest_pred, computed
+    JVM-side with zip_with + array_min over struct(dist, tok, pred)
+    (structs order field-wise, so the min is argmin by (dist, tok)). Pairs
+    whose pivot sentence has no predicate token are dropped (no relation
+    signal).
     """
     piv = mentions.select(
         F.col("url").alias("p_url"),
         F.col("mention_id").alias("p_mid"),
         F.col("surface_norm").alias("pivot_norm"),
         F.col("sent_id").alias("pivot_sent"),
+        F.col("tok_begin").alias("p_tb"),
+        F.col("tok_end").alias("p_te"),
     )
     oth = mentions.select(
         F.col("url").alias("o_url"),
@@ -65,14 +71,30 @@ def binary_subrels(
     sent = sentences.select(
         F.col("url").alias("s_url"),
         F.col("sent_id").alias("s_sent"),
-        F.col("pred"),
-    ).filter(F.col("pred").isNotNull())
+        F.col("preds"),
+        F.col("pred_toks"),
+    ).filter(F.size("preds") > 0)
+
+    nearest = F.array_min(
+        F.zip_with(
+            "preds",
+            "pred_toks",
+            lambda p, t: F.struct(
+                F.greatest(
+                    F.col("p_tb") - t, t - F.col("p_te") + 1, F.lit(0)
+                ).alias("d"),
+                t.alias("t"),
+                p.alias("p"),
+            ),
+        )
+    )["p"]
 
     return (
         evidence
         .join(piv, (F.col("url") == F.col("p_url")) & (F.col("pivot_mid") == F.col("p_mid")))
         .join(oth, (F.col("url") == F.col("o_url")) & (F.col("other_mid") == F.col("o_mid")))
         .join(sent, (F.col("url") == F.col("s_url")) & (F.col("pivot_sent") == F.col("s_sent")))
+        .withColumn("pred", nearest)
         .select(
             "url",
             "pivot_mid",

@@ -159,21 +159,32 @@ def decompose_nary_q(spark, sf_dir):
         "slot", "pred", "subrel", "other_norm",
     )
 
+# nearest-predicate attachment (round 4): the pivot's pred is the vocab
+# token at minimum token distance from the pivot (ties -> earliest) —
+# single-token mentions in a single-sentence doc make the distance
+# abs(pred_ord - pivot_ord), the 1-based twin of kernels.nearest_pred
 ORACLES["decompose_nary"] = f"""
 WITH {_DUCK_MENTIONS},
-preds AS (
-  SELECT CAST(doc_id AS VARCHAR) AS url,
-         nullif(regexp_extract(lower(text), '\\b(group|order)\\b', 1), '') AS pred
-  FROM documents
+predtoks AS (
+  SELECT url, ord, tok AS pred FROM toks WHERE tok IN ('group', 'order')
+),
+attach AS (
+  SELECT p.url, p.mention_id, pt.pred,
+         row_number() OVER (
+           PARTITION BY p.url, p.mention_id
+           ORDER BY abs(pt.ord - p.ord), pt.ord
+         ) AS rn
+  FROM mentions p JOIN predtoks pt ON pt.url = p.url
+  WHERE p.tok = 'spark'
 )
 SELECT p.url, p.mention_id AS pivot_mid, o.mention_id AS other_mid,
        CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS slot,
-       pr.pred,
-       pr.pred || '#' || CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS subrel,
+       a.pred,
+       a.pred || '#' || CASE WHEN o.tok IN {_GAZ_A} THEN 'a' ELSE 'b' END AS subrel,
        o.tok AS other_norm
 FROM mentions p
 JOIN mentions o ON p.url = o.url AND p.tok = 'spark' AND o.tok <> 'spark'
-JOIN preds pr ON pr.url = p.url AND pr.pred IS NOT NULL
+JOIN attach a ON a.url = p.url AND a.mention_id = p.mention_id AND a.rn = 1
 """
 
 

@@ -387,35 +387,28 @@ WHERE rn <= 3
 """
 
 
-@query("win_lag")
-def win_lag(spark, sf_dir):
+@query("win_frame")
+def win_frame(spark, sf_dir):
+    """lag/lead AND frame-spec aggregate in ONE key (SURVEY §2 rows 29, 30;
+    merged round 4 to free a driver-window slot for mm_meta): one window
+    shuffle (user_id, ordered ts/event_id) computes the lag delta, a lead
+    peek, and the bounded-frame rolling sum."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-3, Window.currentRow)
     return e.select(
         "event_id",
         F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        F.round(F.lead("value", 2).over(w), 2).alias("lead2"),
+        F.round(F.sum("value").over(wf), 2).alias("roll_sum"),
     )
-
-ORACLES["win_lag"] = """
-SELECT event_id,
-       round(value - lag(value) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id), 2) AS delta
-FROM events
-"""
-
-
-@query("win_frame")
-def win_frame(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-3, Window.currentRow)
-    )
-    return e.select("event_id", F.round(F.sum("value").over(w), 2).alias("roll_sum"))
 
 ORACLES["win_frame"] = """
 SELECT event_id,
+       round(value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), 2) AS delta,
+       round(lead(value, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), 2) AS lead2,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
          AS roll_sum

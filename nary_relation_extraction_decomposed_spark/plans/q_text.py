@@ -127,6 +127,103 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_signatures(d, "doc_id", F.col("text"))
 
 
+def _be(col, nbytes):
+    """Integer column -> big-endian bytes (JVM-side: hex + lpad + unhex)."""
+    return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+
+def _le(col, nbytes):
+    """Integer column -> little-endian bytes (byte-swapped hex)."""
+    hx = F.lpad(F.hex(col), nbytes * 2, "0")
+    return F.unhex(
+        F.concat(*[F.substring(hx, i * 2 + 1, 2) for i in reversed(range(nbytes))])
+    )
+
+
+def synthetic_media(docs) -> "DataFrame":
+    """Deterministic REAL media containers from doc_id arithmetic, built
+    entirely JVM-side (binary literals + hex/unhex — no UDF): doc_id%3
+    picks PNG (24-byte sig+IHDR, planted width/height), JPEG (11-byte
+    SOI+SOF0, planted height/width) or WAV (44-byte RIFF fmt+data header,
+    planted rate/channels/data length). The payloads exercise the REAL
+    header parsers in operators/multimodal.py, and every planted value is
+    recomputable from doc_id alone — which is what gives mm_meta an exact
+    DuckDB oracle."""
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    png_w = 1 + F.pmod(F.col("doc_id"), F.lit(640))
+    png_h = 1 + F.pmod(F.col("doc_id"), F.lit(480))
+    jpg_w = 1 + F.pmod(F.col("doc_id"), F.lit(1920))
+    jpg_h = 1 + F.pmod(F.col("doc_id"), F.lit(1080))
+    channels = 1 + F.pmod(F.col("doc_id"), F.lit(2))
+    rate = 8000 + F.pmod(F.col("doc_id"), F.lit(5)) * 4000
+    byte_rate = rate * channels * 2
+    dlen = 2 * (1 + F.pmod(F.col("doc_id"), F.lit(1000)))
+
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"), _be(F.lit(13), 4), F.lit(b"IHDR"),
+        _be(png_w, 4), _be(png_h, 4),
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8\xff\xc0"), _be(F.lit(7), 2), F.lit(b"\x08"),
+        _be(jpg_h, 2), _be(jpg_w, 2),
+    )
+    wav = F.concat(
+        F.lit(b"RIFF"), _le(F.lit(36), 4), F.lit(b"WAVEfmt "),
+        _le(F.lit(16), 4), _le(F.lit(1), 2), _le(channels, 2),
+        _le(rate, 4), _le(byte_rate, 4), _le(channels * 2, 2),
+        _le(F.lit(16), 2), F.lit(b"data"), _le(dlen, 4),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(m == 0, F.lit("image/png"))
+        .when(m == 1, F.lit("image/jpeg"))
+        .otherwise(F.lit("audio/wav")).alias("kind"),
+        F.when(m == 0, png).when(m == 1, jpeg).otherwise(wav).alias("payload"),
+        F.create_map(F.lit("origin"), F.lit("synthetic")).alias("meta"),
+    )
+
+
+@query("mm_meta")
+def mm_meta(spark, sf_dir):
+    """Multimodal METADATA with an exact cross-engine oracle (VERDICT r3
+    #5): real PNG/JPEG/WAV container bytes -> the REAL header parsers
+    inside extract_media_features' mapInPandas -> width/height/sample_rate/
+    duration_ms, hash-checked against DuckDB recomputing the planted values
+    arithmetically. Image rows NULL their audio fields and vice versa (the
+    operator backfills unparsed image fields from the stub decoder — that
+    seam stays rows-only in mm_features)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_media_features(synthetic_media(d), fake_decode=True)
+    is_img = F.col("kind").startswith("image/")
+    return feats.select(
+        "media_id", "kind", "n_bytes", "magic",
+        F.when(is_img, F.col("width")).alias("width"),
+        F.when(is_img, F.col("height")).alias("height"),
+        "sample_rate", "duration_ms",
+    )
+
+ORACLES["mm_meta"] = """
+SELECT doc_id AS media_id,
+       CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+              ELSE 'audio/wav' END AS kind,
+       CAST(CASE m WHEN 0 THEN 24 WHEN 1 THEN 11 ELSE 44 END AS BIGINT)
+         AS n_bytes,
+       CASE m WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffc0'
+              ELSE '52494646' END AS magic,
+       CAST(CASE m WHEN 0 THEN 1 + doc_id % 640
+                   WHEN 1 THEN 1 + doc_id % 1920 END AS INTEGER) AS width,
+       CAST(CASE m WHEN 0 THEN 1 + doc_id % 480
+                   WHEN 1 THEN 1 + doc_id % 1080 END AS INTEGER) AS height,
+       CAST(CASE WHEN m = 2 THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER)
+         AS sample_rate,
+       CAST(CASE WHEN m = 2 THEN
+              (2 * (1 + doc_id % 1000) * 1000)
+                // ((8000 + (doc_id % 5) * 4000) * (1 + doc_id % 2) * 2)
+            END AS INTEGER) AS duration_ms
+FROM (SELECT doc_id, doc_id % 3 AS m FROM documents) t
+"""
+
+
 @query("mm_features")
 def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> metadata + stub features via

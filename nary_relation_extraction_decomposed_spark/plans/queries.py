@@ -63,6 +63,7 @@ KEY_ORDER = (
     "dedup_ngram",
     # --- scalar-function surface (rows 38-46) ---
     "str_norm",
+    "mm_meta",
     "date_trunc",
     "salt_key",
     "arr_shingle",
@@ -88,7 +89,6 @@ KEY_ORDER = (
     "agg_rollup",
     "agg_pivot",
     "win_rownum",
-    "win_lag",
     "win_frame",
     "win_topk",
     "topk_global",

@@ -19,7 +19,7 @@ batch_id; `merge_triple_deltas` dedups on (batch_id) replays at read time.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..plans.pipeline import PipelineConfig, run_pipeline
 
@@ -82,6 +82,17 @@ def stream_pages_to_triples(
             from ..plans.pipeline import _rejoin
 
             out = _rejoin(res.subrels, pred_rules, None, config, url_level=True)
+            # processed-urls manifest (1 row per url per batch): a re-crawl
+            # whose new version yields NO triples leaves no trace in the
+            # delta table itself, so without this the merge could not know
+            # the url was re-processed and stale earlier-batch evidence
+            # would survive (latest_batch_per_url reads this sidecar)
+            (
+                batch_df.select("url").distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(urls_manifest_path(out_path))
+            )
         else:
             out = res.triples
         (
@@ -100,16 +111,78 @@ def stream_pages_to_triples(
     return q
 
 
+def urls_manifest_path(out_path: str) -> str:
+    """Sidecar parquet dir holding (url, batch_id) per PROCESSED url per
+    batch — written by stream_pages_to_triples(url_level=True)."""
+    return out_path.rstrip("/") + "_urls"
+
+
+def latest_batch_per_url(
+    deltas: DataFrame, urls_manifest: DataFrame | None = None
+) -> DataFrame:
+    """Keep only each url's rows from its LATEST batch — the streaming twin
+    of textprep.dedup_latest_text's latest-version-per-url rule.
+
+    A re-crawled url landing in a later micro-batch re-extracts the whole
+    document; without this filter, distinct (triple, url) at merge time
+    would union evidence from BOTH document versions, diverging from the
+    batch pipeline (which dedups to one version per url). "Latest" comes
+    from the processed-urls manifest when given — the delta rows alone
+    cannot see a re-crawl whose new version emits NO triples (nothing to
+    row-max over), and exactly that url must drop ALL its stale evidence.
+    Without a manifest, falls back to max(batch_id) over the delta rows
+    themselves (correct whenever every processed version emits >= 1 row).
+
+    File-stream sources deliver re-crawls in arrival order, so the max
+    batch is the latest version (within one batch, run_pipeline's
+    dedup_latest_text has already picked the max-warc_ts row; an
+    out-of-order re-crawl whose warc_ts is OLDER than an earlier batch's is
+    resolved by batch recency — the one documented deviation from pure
+    warc_ts ordering, since url-level deltas do not carry warc_ts)."""
+    if urls_manifest is not None:
+        latest = urls_manifest.groupBy("url").agg(
+            F.max("batch_id").alias("_maxb")
+        )
+        return (
+            deltas.join(latest, "url", "left")
+            .filter(
+                F.col("_maxb").isNull() | (F.col("batch_id") == F.col("_maxb"))
+            )
+            .drop("_maxb")
+        )
+    w = Window.partitionBy("url")
+    return (
+        deltas.withColumn("_maxb", F.max("batch_id").over(w))
+        .filter(F.col("batch_id") == F.col("_maxb"))
+        .drop("_maxb")
+    )
+
+
+def read_urls_manifest(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """The (url, batch_id) processed-urls sidecar next to a url-level delta
+    table, or None when absent (deltas produced by an older writer)."""
+    from ..plans.checkpoint import HadoopFS
+
+    path = urls_manifest_path(out_path)
+    if not HadoopFS(spark, path).exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def merge_triple_deltas(spark: SparkSession, out_path: str) -> DataFrame:
     """Delta table -> current triple set, dispatching on the stored
     granularity. Aggregated deltas: dedup (triple, batch_id) replays, sum
-    support. Url-level deltas: distinct (triple, url) — a url lives in one
-    batch, and distinct also absorbs at-least-once replays — then count
-    (the skew-safe two-phase form: the first shuffle key includes url)."""
+    support — REQUIRES each url to live in exactly one batch (a re-crawl in
+    a later batch double-counts; use url_level=True deltas when re-crawls
+    are possible). Url-level deltas: latest batch per url (re-crawl
+    supersedes, see latest_batch_per_url), distinct (triple, url) — which
+    also absorbs at-least-once replays — then count (the skew-safe
+    two-phase form: the first shuffle key includes url)."""
     deltas = spark.read.parquet(out_path)
     if "url" in deltas.columns:
         return (
-            deltas.select("subj", "pred", "obj", "url")
+            latest_batch_per_url(deltas, read_urls_manifest(spark, out_path))
+            .select("subj", "pred", "obj", "url")
             .distinct()
             .groupBy("subj", "pred", "obj")
             .agg(F.count("*").cast("bigint").alias("support"))
@@ -121,7 +194,9 @@ def merge_triple_deltas(spark: SparkSession, out_path: str) -> DataFrame:
 
 
 def canonicalize_url_deltas(
-    deltas: DataFrame, canon_map: DataFrame
+    deltas: DataFrame,
+    canon_map: DataFrame,
+    urls_manifest: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT merge-time canonicalization — the streaming counterpart of
     the batch pipeline's in-run ER (stream_pages_to_triples requires
@@ -137,7 +212,13 @@ def canonicalize_url_deltas(
     only aggregated supports, a url whose alias surfaces collapse onto one
     canonical triple would be double counted (SUM is an upper bound there);
     with urls it reproduces the canonicalized batch pipeline EXACTLY
-    (asserted in tests/test_streaming_kg.py)."""
+    (asserted in tests/test_streaming_kg.py). When the deltas carry
+    batch_id, a re-crawled url is first reduced to its latest batch
+    (latest_batch_per_url; pass urls_manifest = read_urls_manifest(...) so
+    a version that emits no triples still supersedes) — matching the batch
+    pipeline's one-version-per-url rule."""
+    if "batch_id" in deltas.columns:
+        deltas = latest_batch_per_url(deltas, urls_manifest)
     canon = canon_map.select("surface_norm", "canonical")
     subj_map = F.broadcast(canon.toDF("subj", "_subj_c"))
     obj_map = F.broadcast(canon.toDF("obj", "_obj_c"))

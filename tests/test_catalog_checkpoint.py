@@ -124,6 +124,98 @@ def test_checkpoint_manifest_file_scheme_and_stale_invalidation(spark, tmp_path)
     assert out4.count() == 100
 
 
+def test_sigkill_mid_stage_resume_byte_identical(spark, tmp_path, fixture_dir):
+    """Kill-resume under a REAL mid-stage SIGKILL (VERDICT r3 #6 — the
+    manifest layer claims partition-level recovery, so prove it against an
+    actual kill, not a polite stage-dir delete): launch the spark-submit
+    entry point as a subprocess, SIGKILL it the moment the first stages'
+    manifests commit (mid-pipeline, later stages unwritten), rerun to
+    completion, and assert (a) every committed stage was SKIPPED on resume
+    (zero recompute) and (b) the final triple table is value-identical to
+    an uninterrupted in-session run of the same config."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages_path = str(tmp_path / "pages_subset")
+    (
+        spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+        .filter(F.xxhash64("url") % 4 == 0)
+        .coalesce(2)
+        .write.parquet(pages_path)
+    )
+    ck = str(tmp_path / "ck")
+    out1 = str(tmp_path / "out_resumed")
+
+    def launch(out_dir):
+        return subprocess.Popen(
+            [sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
+             "--pages", pages_path, "--fixtures", fixture_dir,
+             "--output", out_dir, "--checkpoint", ck,
+             "--shuffle-partitions", "8"],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True,
+        )
+
+    # run 1: SIGKILL as soon as docs+mentions manifests are committed
+    proc = launch(out1)
+    kill_after = [os.path.join(ck, s, "manifest.json")
+                  for s in ("docs", "mentions")]
+    deadline = time.time() + 300
+    try:
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "pipeline finished before the kill window — subset too "
+                    "small for a mid-stage SIGKILL test"
+                )
+            if all(os.path.exists(p) for p in kill_after):
+                proc.send_signal(signal.SIGKILL)
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("stage manifests never appeared")
+        assert proc.wait(timeout=30) == -signal.SIGKILL
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert not os.path.exists(os.path.join(out1, "triples")), (
+        "kill landed after the final write — not a mid-stage kill"
+    )
+
+    # run 2: resume to completion; committed stages must be skipped
+    proc2 = launch(out1)
+    stdout, _ = proc2.communicate(timeout=300)
+    assert proc2.returncode == 0, stdout[-2000:]
+    stats = json.loads(stdout.strip().splitlines()[-1])
+    assert stats["stages"]["docs"]["skipped"] is True
+    assert stats["stages"]["mentions"]["skipped"] is True
+    assert stats["n_triples"] > 0
+
+    # uninterrupted reference run, same config, in-session
+    from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    want = sorted(
+        tuple(r) for r in run_pipeline(pages, gaz, rules, PipelineConfig())
+        .triples.select("subj", "pred", "obj", "support").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out1, "triples"))
+        .select("subj", "pred", "obj", "support").collect()
+    )
+    assert got == want and got
+
+
 def test_triples_sink_partitioned_by_pred(spark, tmp_path, fixture_dir):
     path = str(tmp_path / "triples_tbl")
     golden = spark.read.parquet(os.path.join(fixture_dir, "golden_triples.parquet"))

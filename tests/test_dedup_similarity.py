@@ -85,17 +85,31 @@ def test_simhash_exact_dupes_identical_and_near(spark, docs_with_dupes):
 def test_simhash_hot_band_is_capped(spark):
     """Planted degenerate band (1k docs with simhash=0 — the empty/boiler-
     plate case guaranteed at web scale): the pair generator must stay
-    bounded (bucket-size cap) instead of expanding ~500k pairs on one
-    reducer, while genuinely-near pairs in small buckets still come out."""
+    bounded (bucket truncation) instead of expanding ~500k pairs on one
+    reducer, while genuinely-near pairs in small buckets still come out.
+
+    Over-cap buckets TRUNCATE to their first MAX_BLOCK_SIZE members (not a
+    drop): an identical-simhash cluster is over-cap in EVERY band, so a
+    drop would emit zero pairs for exactly the most-duplicated content —
+    the truncated sample keeps it discoverable at bounded cost."""
+    from nary_relation_extraction_decomposed_spark.operators.er import (
+        MAX_BLOCK_SIZE,
+    )
+
     hot = [(i, 0) for i in range(1000)]
     near = [(100001, 3 << 40), (100002, (3 << 40) | 1)]  # hamming 1
     sigs = spark.createDataFrame(hot + near, "id bigint, simhash bigint")
     got = D.simhash_near_pairs(sigs, max_hamming=8).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in got}
     assert (100001, 100002) in pairs
-    # every hot-bucket pair was deterministically dropped, none leaked
-    assert not any(a < 1000 and b < 1000 for a, b in pairs)
-    assert len(got) < 100
+    hot_pairs = [(a, b) for a, b in pairs if a < 1000 and b < 1000]
+    # the identical-simhash cluster IS represented (was a silent recall
+    # hole when over-cap buckets were dropped outright)...
+    assert hot_pairs
+    # ...but only through the deterministic first-MAX_BLOCK_SIZE sample,
+    # so the expansion stays bounded at C(cap, 2)
+    assert all(a < MAX_BLOCK_SIZE and b < MAX_BLOCK_SIZE for a, b in hot_pairs)
+    assert len(hot_pairs) == MAX_BLOCK_SIZE * (MAX_BLOCK_SIZE - 1) // 2
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):

@@ -99,6 +99,15 @@ def test_kernel_token_window_skipped_without_tok_info():
     }
 
 
+def _hrows(df):
+    """Hash-safe sorted rows: array columns (preds/pred_toks) arrive as
+    Python lists, which sets can't hold — coerce to tuples."""
+    return sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in df.collect()
+    )
+
+
 def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
     """detect_and_analyze_tagged -> doc_graph_subrels_tagged (ONE docs pass,
     one shuffle) must emit exactly the same evidence rows as the unfused
@@ -142,8 +151,8 @@ def test_fused_tagged_path_equals_unfused(spark, fixture_dir):
 
     mv = {tuple(r) for r in mentions_view(tagged).collect()}
     assert mv == {tuple(r) for r in ments.collect()} and mv
-    sv = {tuple(r) for r in sentences_view(tagged).collect()}
-    assert sv == {tuple(r) for r in sents.collect()} and sv
+    sv = _hrows(sentences_view(tagged))
+    assert sv == _hrows(sents) and sv
 
 
 def test_combined_pass_equals_staged_operators(spark, fixture_dir):
@@ -181,9 +190,7 @@ def test_combined_pass_equals_staged_operators(spark, fixture_dir):
         tuple(r) for r in ments.collect()
     }
     sents = analyze_sentences(docs, vocab)
-    assert {tuple(r) for r in sentences_from_combined(combined).collect()} == {
-        tuple(r) for r in sents.collect()
-    }
+    assert _hrows(sentences_from_combined(combined)) == _hrows(sents)
     ev_cols = ["url", "pivot_mid", "pivot_norm", "pivot_sent", "other_mid",
                "other_norm", "slot", "pred", "path_len"]
     staged = doc_graph_subrels(ments, sents, "DRUG", slots)

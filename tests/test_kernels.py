@@ -105,6 +105,36 @@ def test_enrichment_properties_random_layouts():
     prop()
 
 
+def test_unknown_tok_counts_create_no_window_edges():
+    """A None entry in sent_tok_counts (sentence rows absent — the fallback
+    path that derives n_sents from mentions) must create NO token-window
+    edges across that boundary: the old 0-default made the cross-boundary
+    gap (ntoks - tok_end) + tok_begin negative and fabricated proximity
+    edges, emitting evidence the golden kernel would not."""
+    from nary_relation_extraction_decomposed_spark.operators.kernels import (
+        bfs_evidence,
+    )
+
+    # pivot in sent 0, arg in sent 2 — base-graph distance 4 (> MAX_PATH_LEN
+    # 3), acceptable ONLY via chained window edges through sent 1
+    ms = [
+        {"mention_id": 0, "ent_type": "DRUG", "sent_id": 0,
+         "tok_begin": 5, "tok_end": 6},
+        {"mention_id": 1, "ent_type": "OTHER", "sent_id": 1,
+         "tok_begin": 0, "tok_end": 1},
+        {"mention_id": 2, "ent_type": "GENE", "sent_id": 2,
+         "tok_begin": 0, "tok_end": 1},
+    ]
+    slots = [("GENE", "a")]
+    # with REAL small counts, the chain is accepted (sanity: the layout is
+    # one the window enrichment genuinely accepts)...
+    known = bfs_evidence(3, ms, "DRUG", slots, sent_tok_counts=[6, 1, 4])
+    assert {(r["pivot_mid"], r["other_mid"]) for r in known} == {(0, 2)}
+    # ...with UNKNOWN counts, no window edges may be fabricated
+    assert bfs_evidence(3, ms, "DRUG", slots,
+                        sent_tok_counts=[None, None, None]) == []
+
+
 def test_gazetteer_longest_match():
     gaz = GazetteerIndex.build(
         [("adri vax", "D1", "DRUG"), ("adri", "D2", "DRUG"), ("brc7", "G1", "GENE")]

@@ -193,6 +193,25 @@ def test_count_distinct_skewsafe_ignores_nulls(spark):
     assert got == {"a": 1, "b": 1, "c": 1}
 
 
+def test_count_distinct_skewsafe_keeps_all_null_groups(spark):
+    """groupBy+countDistinct emits a group whose vals are ALL NULL with 0;
+    the skew-safe form must too (a NULL-filter-first variant dropped such
+    groups entirely — a caller joining on the result silently lost them)."""
+    d = spark.createDataFrame(
+        [("a", 1), ("allnull", None), ("allnull", None), ("b", 2)],
+        "grp string, v int",
+    )
+    got = {
+        r["grp"]: r["n_distinct"]
+        for r in R.count_distinct_skewsafe(d, ["grp"], "v").collect()
+    }
+    want = {
+        r["grp"]: r["n"]
+        for r in d.groupBy("grp").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"a": 1, "allnull": 0, "b": 1}
+
+
 def test_salted_count_matches_plain(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     got = {

@@ -97,3 +97,72 @@ def test_streaming_triples_match_batch(spark, fixture_dir, tmp_path):
         ).triples.collect()
     }
     assert got_c == want_c and got_c
+
+
+def test_streaming_recrawl_supersedes_earlier_batch(spark, fixture_dir, tmp_path):
+    """A url RE-CRAWLED into a later micro-batch must supersede its earlier
+    version at merge time (latest_batch_per_url): without the latest-batch
+    filter, distinct (triple, url) unions evidence from BOTH document
+    versions, diverging from the batch pipeline, whose dedup_latest_text
+    keeps one version per url."""
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(
+        (F.xxhash64("url") % 8 == 0) & F.col("text").isNotNull()
+    ).persist()
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    cfg = PipelineConfig(canonicalize=False)
+
+    # batch 0 = every page (v1); batch 1 = re-crawls of half the urls with
+    # CHANGED text (all mentions gone -> those urls now contribute zero
+    # evidence) and a later warc_ts
+    recrawl = pages.filter(F.pmod(F.xxhash64("url", F.lit(3)), F.lit(2)) == 0)
+    v2 = recrawl.withColumn(
+        "text", F.lit("no entities remain on this page after the recrawl")
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY"))
+    # one file per version so maxFilesPerTrigger=1 gives exactly two
+    # micro-batches, v2's strictly after v1's (file mod-time order)
+    src = str(tmp_path / "pages_in")
+    pages.coalesce(1).write.parquet(src, mode="overwrite")
+    v2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "url_deltas")
+    KS.stream_pages_to_triples(
+        KS.read_pages_stream(spark, src, max_files=1),
+        gaz, rules, cfg, out, str(tmp_path / "ck"), url_level=True,
+    )
+    deltas = spark.read.parquet(out)
+    # the re-crawled versions carry NO mentions, so the delta TABLE only
+    # has batch-0 rows — the processed-urls manifest is what records that
+    # batch 1 re-processed those urls (the hole this test pins)
+    man = KS.read_urls_manifest(spark, out)
+    assert man is not None
+    assert man.select("batch_id").distinct().count() == 2
+    assert deltas.select("batch_id").distinct().count() == 1
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.merge_triple_deltas(spark, out).collect()
+    }
+    # batch-pipeline ground truth over the union corpus: dedup_latest_text
+    # picks the re-crawled (later-warc_ts) version per url
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages.unionByName(v2), gaz, rules, cfg
+        ).triples.collect()
+    }
+    assert got == want and got
+
+    # the pre-fix merge (plain distinct over ALL batches, no latest-batch
+    # filter) genuinely diverges here — stale v1 evidence survives
+    naive = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in deltas.select("subj", "pred", "obj", "url")
+        .distinct()
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .collect()
+    }
+    assert naive != want
+    pages.unpersist()
