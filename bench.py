@@ -358,7 +358,7 @@ def main() -> None:
         )),
         extra_confs={
             "spark.ui.enabled": "false",
-            "spark.driver.memory": "16g",
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
             # emulate an N-core NODE, not N task slots on a 32-core host:
             # GC/JIT/common-pool threads all derive from the processor count,
             # so without this a local[8] run gets free host-wide JVM

@@ -105,16 +105,22 @@ def minhash_dup_candidates(
     )
     # ONE shuffle: groupBy (band, bucket) -> collect_list -> in-array pair
     # expansion; the earlier sizes-join + self-join referenced the banded
-    # rows 3x, recomputing the 64-agg MinHash upstream per reference. The
-    # size cap (LSH skew guard) bounds the collected array and the
-    # quadratic expansion identically to before.
+    # rows 3x, recomputing the 64-agg MinHash upstream per reference.
+    # Over-cap buckets TRUNCATE to their first MAX_BLOCK_SIZE sorted
+    # members (the LSH skew guard, same shape as simhash_near_pairs): a
+    # cluster of > MAX_BLOCK_SIZE byte-identical docs has identical
+    # signatures in EVERY band, so an outright drop would emit zero pairs
+    # for exactly the most-duplicated content — the deterministic sample
+    # keeps it discoverable at bounded quadratic cost (full coverage of
+    # byte-identical content is exact_dedup's job; run it first).
     bands_df = sigs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
     )
     buckets = (
         bands_df.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE))
+        .filter(F.size("members") >= 2)
+        .withColumn("members", F.slice("members", 1, MAX_BLOCK_SIZE))
     )
     pair_arr = F.flatten(
         F.transform(

@@ -143,13 +143,28 @@ def main() -> None:
     }
     print(json.dumps(report, indent=1))
 
+    # raw JSON -> BENCH/samples/ (doc hygiene, VERDICT r3 #8); BASELINE.md
+    # gets the header + key numbers + the pointer only
+    import re
+
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     label = os.environ.get("SCALING_LABEL", f"N={n_small} vs {n_large}")
+    slug = re.sub(r"[^a-zA-Z0-9]+", "_", label).strip("_").lower()[:60]
+    sample_path = os.path.join(REPO, "BENCH", "samples", f"{slug}.json")
+    os.makedirs(os.path.dirname(sample_path), exist_ok=True)
+    with open(sample_path, "w") as f:
+        json.dump(report, f, indent=1)
     with open(md, "a") as f:
         f.write(
-            f"\n## Scaling run — {label}\n\n```json\n"
-            + json.dumps(report, indent=1) + "\n```\n"
+            f"\n## Scaling run — {label}\n\n"
+            f"Key numbers: raw {report['raw_scaling_efficiency_Nto4N']}, "
+            f"marginal {report['marginal_scaling_efficiency_Nto4N']}, "
+            f"docs/s@N {report['kg_docs_per_sec@N']}, "
+            f"docs/s@4N {report['kg_docs_per_sec@4N']}, "
+            f"host-ceiling "
+            f"{report['host_mp_ceiling']['host_ceiling_efficiency']}.\n"
+            f"Full raw JSON: `BENCH/samples/{slug}.json`.\n"
         )
 
 
