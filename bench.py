@@ -115,9 +115,18 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     # persist() (not localCheckpoint) at DAG-reuse points: avoids paying a
     # hard materialization barrier per stage while still preventing
     # recomputation of the Python stages that feed multiple joins
-    docs = dedup_latest_text(
-        resolve_text(filter_pages(pages, "en")), num_partitions=width
-    ).persist()
+    if os.environ.get("SPARK_GRAFT_KG_DEDUP", "latest") == "skip":
+        # DIAGNOSTIC ONLY (never the committed headline): the replicated
+        # bench corpus is one-row-per-url by construction, so skipping the
+        # latest-per-url dedup (the pipeline's only full-text shuffle —
+        # run_pipeline's dedup_mode='auto' skips it the same way after an
+        # exact probe) isolates that shuffle's share of the wall on the
+        # bandwidth-bound 16-core profile (BENCH/BASELINE.md round 4)
+        docs = resolve_text(filter_pages(pages, "en")).persist()
+    else:
+        docs = dedup_latest_text(
+            resolve_text(filter_pages(pages, "en")), num_partitions=width
+        ).persist()
     # FULLY-fused path (the run_pipeline default): detection + sentence
     # analysis + graph BFS in ONE mapInPandas, ZERO shuffles docs->evidence
     # (dedup left one row per url; equivalence vs the staged operators

@@ -90,6 +90,23 @@ def dedup_latest_text(docs: DataFrame, num_partitions: int | None = None) -> Dat
     )
 
 
+def urls_are_unique(docs: DataFrame) -> bool:
+    """EXACT probe: does this corpus already have one row per url? A narrow
+    aggregation over the url column only (two counts in one pass; column
+    pruning keeps text/html out of the scan) — ~50 bytes/row of shuffle vs
+    the full-text shuffle a latest-per-url dedup costs. Used by
+    dedup_mode='auto' (plans/pipeline.py): re-runs over an
+    already-deduplicated corpus (yesterday's cleaned snapshot, a
+    checkpointed docs stage, a test fixture) can skip the pipeline's ONLY
+    corpus-wide text shuffle entirely."""
+    import pyspark.sql.functions as F2
+
+    row = docs.select(
+        F2.count("*").alias("n"), F2.count_distinct("url").alias("d")
+    ).first()
+    return row["n"] == row["d"]
+
+
 def resolve_text(pages: DataFrame, metrics: dict | None = None) -> DataFrame:
     """(url, warc_ts, html, text, ...) -> (url, warc_ts, text) where text =
     provided text if non-null else the frozen extractor over html.

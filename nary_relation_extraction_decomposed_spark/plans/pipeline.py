@@ -73,6 +73,18 @@ class PipelineConfig:
     # The checkpointed runner keeps unfused stages (per-stage manifests
     # need stage-granular artifacts).
     fused: bool = True
+    # latest-per-url dedup mode — the pipeline's ONLY corpus-wide
+    # full-text shuffle:
+    #   'latest' (default): always dedup (a crawl always has re-crawls);
+    #   'auto':  exact narrow probe (textprep.urls_are_unique, ~50 B/row)
+    #            first — a corpus that is already one-row-per-url (re-run
+    #            over a cleaned snapshot / checkpointed docs stage) skips
+    #            the text shuffle entirely, making the fused path truly
+    #            zero-shuffle from parquet to evidence;
+    #   'skip':  caller asserts one row per url (checkpointed docs stage).
+    # The one-row-per-url contract that doc_kg_combined requires holds in
+    # all three modes.
+    dedup_mode: str = "latest"
     # partitioning floor for Python-heavy stages (None -> 2x cores); see
     # operators/graph.py on why AQE byte-coalescing must not size these
     python_parallelism: int | None = None
@@ -177,10 +189,25 @@ def run_pipeline(
     # crawls. persist: docs feeds both mention detection and sentence
     # analysis (accumulator caveat: task retries can overcount; the
     # checkpointed variant's manifest rows are exact).
-    resolved = textprep.resolve_text(
-        textprep.filter_pages(pages, config.lang), metrics=metrics
-    )
-    docs = textprep.dedup_latest_text(resolved, num_partitions=width).persist()
+    # pages_from-style sources are pre-partitioned; filter+resolve are
+    # map-only, so when dedup is skippable the docs frame reaches the fused
+    # pass WITHOUT any shuffle at all
+    pre = textprep.filter_pages(pages, config.lang)
+    resolved = textprep.resolve_text(pre, metrics=metrics)
+    if config.dedup_mode == "skip" or (
+        config.dedup_mode == "auto" and textprep.urls_are_unique(
+            pre.select("url")
+        )
+    ):
+        docs = resolved
+        # the dedup's repartition doubled as the Python-stage width pin;
+        # without it, only top up when the source is under-partitioned
+        # (pre-partitioned sources keep the true zero-shuffle path)
+        if docs.rdd.getNumPartitions() < width:
+            docs = docs.repartition(width)
+        docs = docs.persist()
+    else:
+        docs = textprep.dedup_latest_text(resolved, num_partitions=width).persist()
 
     if config.fused:
         # ONE Python crossing and ZERO shuffles from docs to evidence:

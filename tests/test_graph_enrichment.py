@@ -215,6 +215,41 @@ def test_fused_pipeline_equals_unfused(spark, fixture_dir):
     assert triples(True) == triples(False)
 
 
+def test_dedup_mode_auto_and_skip(spark, fixture_dir):
+    """dedup_mode='auto' (round 4): on a corpus WITH duplicate urls the
+    probe must keep the latest-per-url dedup (triples == default mode);
+    on a PRE-DEDUPED corpus it must skip the pipeline's only full-text
+    shuffle and still produce identical triples; 'skip' on the pre-deduped
+    corpus likewise."""
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+
+    def triples(pg, mode):
+        cfg = PipelineConfig(canonicalize=False, dedup_mode=mode)
+        df = run_pipeline(pg, gaz, rules, cfg).triples
+        return {tuple(r) for r in df.select("subj", "pred", "obj", "support").collect()}
+
+    # fixture corpus HAS duplicate urls -> auto must dedup
+    want = triples(pages, "latest")
+    assert triples(pages, "auto") == want and want
+
+    # pre-deduped corpus -> auto skips, skip skips, results identical
+    from nary_relation_extraction_decomposed_spark.operators.textprep import (
+        dedup_latest_per_url,
+        urls_are_unique,
+    )
+
+    clean = dedup_latest_per_url(pages).persist()
+    assert not urls_are_unique(pages.select("url"))
+    assert urls_are_unique(clean.select("url"))
+    want_clean = triples(clean, "latest")
+    assert triples(clean, "auto") == want_clean
+    assert triples(clean, "skip") == want_clean and want_clean
+    clean.unpersist()
+
+
 def test_golden_triples_invariant_under_co_mention(spark, fixture_dir):
     """Co-mention edges alone (token window fixed) never change the
     accepted triple set — only evidence path lengths."""
