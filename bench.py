@@ -54,6 +54,12 @@ REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
 # rerun (the committed sample must not be one contended draw)
 STEAL_RETRY_PCT = float(os.environ.get("SPARK_GRAFT_STEAL_RETRY_PCT", "3.0"))
 MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+# extended cap when every draw so far of a LONG entry was steal-stolen:
+# r4's driver committed a 17.7 s kg_pipeline (13.1% steal, 3/3 attempts
+# stolen) against a 7.8 s clean capability — a long entry whose BEST draw
+# is still over the steal threshold keeps drawing up to this many attempts
+# (VERDICT r4 #5); clean-by-3 entries behave exactly as before
+MAX_ATTEMPTS_STEAL = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS_STEAL", "5"))
 # entries longer than this always get a SECOND draw (min kept): this host's
 # effective CPU budget drifts ~25% across ~10-min windows WITHOUT showing
 # as steal (BENCH/BASELINE.md round 3), so steal alone can't defend a
@@ -409,7 +415,7 @@ def main() -> None:
         kept number is the MINIMUM wall across attempts — the capability
         measurement on a shared-steal box — with ITS steal recorded."""
         best = None
-        for attempt in range(1, MAX_ATTEMPTS + 1):
+        for attempt in range(1, MAX_ATTEMPTS_STEAL + 1):
             reset_between_entries()
             s0, c0 = _cpu_stat()
             t0 = time.time()
@@ -424,6 +430,10 @@ def main() -> None:
                 attempt == 1 and wall > LONG_ENTRY_MIN2_SEC
             ):
                 break
+            if attempt >= MAX_ATTEMPTS and not (
+                best[1] > STEAL_RETRY_PCT and best[0] > LONG_ENTRY_MIN2_SEC
+            ):
+                break  # past the base cap, only still-stolen LONG entries redraw
         timings[name], entry_steal[name], result = best
         return result
 

@@ -4,8 +4,12 @@ verify -> connected components -> canonical label per surface form.
 Everything up to connected components is pure Spark SQL (higher-order
 functions + xxhash64) — zero Python in the hot path. Determinism:
 - MinHash 'permutations' are seeded hashes, identical across runs/clusters.
-- Oversized LSH buckets (stopword-ish blocks, the classic LSH skew bomb) are
-  DROPPED deterministically by size cap, not sampled.
+- Oversized LSH buckets (stopword-ish blocks, the classic LSH skew bomb)
+  TRUNCATE deterministically to their first MAX_BLOCK_SIZE sorted members,
+  not drop: a cluster of > MAX_BLOCK_SIZE near-identical surfaces has
+  near-identical signatures in EVERY band, so an outright drop would emit
+  zero pairs for exactly the most-duplicated content and it would never
+  canonicalize (same guard shape as dedup.minhash_dup_candidates).
 - Canonical label = lexicographically smallest surface_norm in the
   component: content-derived, partition-independent.
 """
@@ -19,7 +23,7 @@ from ..functions.hashing import lsh_band_hashes_col
 from ..functions.textnorm import JACCARD_THRESHOLD, MINHASH_PERMS, shingles_col
 from .connected_components import connected_components
 
-MAX_BLOCK_SIZE = 64  # LSH buckets larger than this are skew-dropped
+MAX_BLOCK_SIZE = 64  # over-cap LSH buckets truncate to this many members
 
 
 def minhash_signatures(surfaces: DataFrame, col: str = "surface_norm") -> DataFrame:
@@ -54,8 +58,13 @@ def lsh_candidate_pairs(sigs: DataFrame, col: str = "surface_norm") -> DataFrame
     expansion with higher-order functions. The earlier self-join formulation
     shuffled the banded rows twice AND recomputed the whole band-derivation
     lineage once per join side; this shape aggregates members once and the
-    quadratic step never leaves the (size-capped, <= MAX_BLOCK_SIZE) bucket
-    array. collect_list is safe exactly because of that cap."""
+    quadratic step never leaves the (truncated to MAX_BLOCK_SIZE) bucket
+    array. Over-cap buckets TRUNCATE to their first MAX_BLOCK_SIZE sorted
+    members rather than dropping: >cap near-identical surface clusters
+    (boilerplate titles, stopword-ish aliases) collide in every band, so a
+    drop would leave them permanently un-canonicalized; the deterministic
+    sample keeps each such cluster discoverable at bounded quadratic cost,
+    and CC transitively closes it from the sampled pairs."""
     bands = sigs.select(
         F.col(col), F.explode(lsh_band_hashes_col(F.col("sig"))).alias("bb")
     ).select(col, "bb.band", "bb.bucket")
@@ -63,9 +72,8 @@ def lsh_candidate_pairs(sigs: DataFrame, col: str = "surface_norm") -> DataFrame
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(col)).alias("members"))
-        .filter(
-            (F.size("members") >= 2) & (F.size("members") <= MAX_BLOCK_SIZE)
-        )
+        .filter(F.size("members") >= 2)
+        .withColumn("members", F.slice("members", 1, MAX_BLOCK_SIZE))
     )
     pair_arr = F.flatten(
         F.transform(

@@ -109,17 +109,36 @@ def detect_mentions(docs: DataFrame, gazetteer: DataFrame) -> DataFrame:
 
 def dedup_gazetteer_table(gazetteer: DataFrame) -> DataFrame:
     """Distributed twin of GazetteerIndex.build's tie rule: one row per
-    surface_norm — the lexicographically smallest (ent_id, ent_type) wins —
-    with empty and over-MAX_GAZ_TOKENS surfaces dropped. min(struct(...))
-    orders field-wise, exactly like sorted() on the tuple."""
-    n_toks = F.size(F.split(F.col("surface_norm"), " "))
+    WHITESPACE-NORMALIZED surface — with empty and over-MAX_GAZ_TOKENS
+    surfaces dropped.
+
+    Normalization first (trim + collapse runs of whitespace to one space)
+    mirrors the trie path's ``surface_norm.split()`` token key: a raw
+    dictionary surface with a double space or tab matches via the broadcast
+    trie (token-tuple key) but could never equal a single-space-joined
+    candidate n-gram in the join path — normalizing before the size filter,
+    dedup and join keeps the two paths convergent on non-normalized
+    dictionaries. (Java ``\\s`` is ASCII whitespace vs Python's Unicode
+    ``str.split()`` — the one documented seam, exotic-whitespace surfaces.)
+
+    Tie rule parity: GazetteerIndex.build iterates ``sorted(rows)`` and the
+    first claim on a collapsed token key wins — i.e. the minimum of
+    (raw surface, ent_id, ent_type); ``min(struct(...))`` orders field-wise,
+    exactly like sorted() on the tuple. For already-normalized dictionaries
+    raw == normalized and this reduces to the old min(ent_id, ent_type)."""
+    norm = F.array_join(F.split(F.trim(F.col("surface_norm")), r"\s+"), " ")
+    g = gazetteer.select(
+        norm.alias("_norm"),
+        F.col("surface_norm").alias("_raw"),
+        "ent_id",
+        "ent_type",
+    )
+    n_toks = F.size(F.split(F.col("_norm"), " "))
     return (
-        gazetteer.filter(
-            (F.col("surface_norm") != "") & (n_toks <= MAX_GAZ_TOKENS)
-        )
-        .groupBy("surface_norm")
-        .agg(F.min(F.struct("ent_id", "ent_type")).alias("_m"))
-        .select("surface_norm", "_m.ent_id", "_m.ent_type")
+        g.filter((F.col("_norm") != "") & (n_toks <= MAX_GAZ_TOKENS))
+        .groupBy("_norm")
+        .agg(F.min(F.struct("_raw", "ent_id", "ent_type")).alias("_m"))
+        .select(F.col("_norm").alias("surface_norm"), "_m.ent_id", "_m.ent_type")
     )
 
 

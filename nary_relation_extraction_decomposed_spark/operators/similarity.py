@@ -37,6 +37,16 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def cosine_prenormed_col(a: Column, b: Column, a_norm: Column, b_norm: Column) -> Column:
+    """cosine_col with the per-vector norms PRECOMPUTED: dot/norm/norm are
+    each an interpreted aggregate(zip_with(...)) walk over the vectors, so
+    recomputing both norms per CANDIDATE PAIR triples the interpreted work —
+    attach norm_col once per id-side row and pair-score with one dot.
+    Bit-identical: the same sqrt(aggregate(...)) doubles multiplied in the
+    same order as cosine_col's norm_col(a) * norm_col(b)."""
+    return dot_col(a, b) / (a_norm * b_norm)
+
+
 def ann_topk_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,18 +60,23 @@ def ann_topk_bruteforce(
     q = broadcast(
         queries.select(
             F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
-        )
+        ).withColumn("q_norm", norm_col(F.col("q_vec")))
     )
     c = corpus.select(
         F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("n_vec")
-    )
+    ).withColumn("n_norm", norm_col(F.col("n_vec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
             "n_id",
-            F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+            F.round(
+                cosine_prenormed_col(
+                    F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+                ),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
@@ -74,7 +89,15 @@ def ann_topk_bruteforce(
 def hyperplane_signature_col(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature as a bigint bucket key. Plane (p, d)
     component = deterministic pseudo-random in {-1,+1} from xxhash64(seed,p,d)
-    — content-free, reproducible on any cluster, no stored model."""
+    — content-free, reproducible on any cluster, no stored model.
+
+    SPEC TWIN ONLY: higher-order `aggregate(zip_with(...))` lambdas are
+    INTERPRETED expressions — n_tables x n_planes of them re-walk every
+    vector per row, the exact expression class minhash_signatures/
+    simhash_signatures measured at ~50x slower than the explode+codegen
+    shape. The hot path is hyperplane_buckets below (bit-identical,
+    pytest-pinned in tests/test_dedup_similarity.py); this column form
+    survives as the executable spec for that pin."""
     def _signer(p: int):
         def sign(x, d):
             return F.when(
@@ -90,6 +113,73 @@ def hyperplane_signature_col(vec: Column, dim: int, n_planes: int, seed: int = 4
         bit = F.when(s >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return sig
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed_base: int = 42,
+) -> DataFrame:
+    """(id, tbl, bucket) for all n_tables LSH tables — the whole-stage-
+    codegen reformulation of hyperplane_signature_col (same shape as
+    minhash_signatures/simhash_signatures): posexplode the vector ONCE,
+    compute all n_tables x n_planes signed sums as codegen'd conditional
+    sum() aggregates in ONE groupBy(id) (map-side partial agg; shuffle
+    payload = n_tables*n_planes doubles per row), fold sign bits per table
+    in a select, explode to (tbl, bucket) rows.
+
+    Bit-identical to the spec twin for fixed-dim vectors: the per-component
+    sign is the same xxhash64(seed_base+t, p, pos) parity over the same
+    IntegerType inputs, and double addition of the same components in
+    ascending pos order matches the spec's left fold. Rows whose vector is
+    null/empty produce NO bucket rows (the spec twin null-poisons them into
+    bucket 0 of every table — an all-malformed-rows-collide bucket; being
+    candidates for nothing is the better behavior, and fixed-dim corpora
+    have neither)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+    ).filter(F.col("pos") < dim)
+    aggs = []
+    for t in range(n_tables):
+        for p in range(n_planes):
+            signed = F.when(
+                F.pmod(
+                    F.xxhash64(F.lit(seed_base + t), F.lit(p), F.col("pos")),
+                    F.lit(2),
+                )
+                == 0,
+                F.col("x"),
+            ).otherwise(-F.col("x"))
+            aggs.append(F.sum(signed).alias(f"_s_{t}_{p}"))
+    wide = ex.groupBy("id").agg(*aggs)
+
+    def bucket_expr(t: int) -> Column:
+        sig = None
+        for p in range(n_planes):
+            bit = (
+                F.when(F.col(f"_s_{t}_{p}") >= 0, F.lit(1 << p).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        return sig
+
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"),
+                bucket_expr(t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return wide.select("id", F.explode(tables).alias("bb")).select(
+        "id", "bb.tbl", "bb.bucket"
+    )
 
 
 def ann_topk_lsh(
@@ -108,40 +198,44 @@ def ann_topk_lsh(
 
     At 100 TB the bucket equi-join replaces the cross join; recall ~
     1-(1-p^planes)^tables where p = 1 - angle/pi. More tables -> higher
-    recall, linearly more candidate volume."""
+    recall, linearly more candidate volume.
 
-    def with_buckets(df, prefix):
-        v = as_double(F.col(vec_col))
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).cast("int").alias("tbl"),
-                    hyperplane_signature_col(v, dim, n_planes, seed=42 + t).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            v.alias(f"{prefix}_vec"),
-            F.explode(buckets).alias("bb"),
-        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.tbl", "bb.bucket")
-
+    Plan shape: signatures come from hyperplane_buckets (ONE posexplode +
+    codegen'd sums — not n_tables x n_planes interpreted lambdas), the
+    bucket join and table-union dedup run on (id, id) rows ONLY, and the
+    64-dim double vectors are re-attached AFTER the dedup — the candidate
+    exchange ships 16 bytes/row instead of ~1 KB/row of vector payload."""
     # NO broadcast hint on the query side (same reasoning as ann_topk_ivf):
     # AQE broadcasts genuinely small query sets on its own, while a
     # full-table self-query (the dedup shape) would force-ship the whole
     # bucketed corpus to every executor — measured 43% slower at sf0.1
-    q = with_buckets(queries, "q")
-    c = with_buckets(corpus, "n")
-    cands = (
-        c.join(q, ["tbl", "bucket"])
+    q = hyperplane_buckets(queries, id_col, vec_col, dim, n_planes, n_tables)
+    c = hyperplane_buckets(corpus, id_col, vec_col, dim, n_planes, n_tables)
+    cand_ids = (
+        c.withColumnRenamed("id", "n_id")
+        .join(q.withColumnRenamed("id", "q_id"), ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", "q_vec", "n_vec")
-        .dropDuplicates(["q_id", "n_id"])  # union over tables
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])  # union over tables, ids only
     )
-    scored = cands.select(
-        "q_id", "n_id",
-        F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine"),
+    qv = queries.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_norm", norm_col(F.col("q_vec")))
+    cv = corpus.select(
+        F.col(id_col).alias("n_id"), as_double(F.col(vec_col)).alias("n_vec")
+    ).withColumn("n_norm", norm_col(F.col("n_vec")))
+    scored = (
+        cand_ids.join(qv, "q_id")
+        .join(cv, "n_id")
+        .select(
+            "q_id", "n_id",
+            F.round(
+                cosine_prenormed_col(
+                    F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")
+                ),
+                6,
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
@@ -210,10 +304,19 @@ def _assign_nearest(
     vecs: DataFrame, centroids: DataFrame, n_probe: int = 1
 ) -> DataFrame:
     """Assign each vector to its n_probe nearest centroids (by cosine,
-    ties -> smaller cid): broadcast the tiny centroid table, rank, filter."""
-    scored = vecs.crossJoin(broadcast(centroids)).select(
+    ties -> smaller cid): broadcast the tiny centroid table, rank, filter.
+    Norms precomputed per side — not per (vector, centroid) pair, which
+    would re-walk each vector nlist times (cosine_prenormed_col)."""
+    v = vecs.withColumn("_vn", norm_col(F.col("vec")))
+    cent = broadcast(centroids.withColumn("_cn", norm_col(F.col("c_vec"))))
+    scored = v.crossJoin(cent).select(
         "id", "vec", "cid",
-        F.round(cosine_col(F.col("vec"), F.col("c_vec")), 9).alias("sim"),
+        F.round(
+            cosine_prenormed_col(
+                F.col("vec"), F.col("c_vec"), F.col("_vn"), F.col("_cn")
+            ),
+            9,
+        ).alias("sim"),
     )
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
@@ -254,17 +357,23 @@ def ann_topk_ivf(
     )
     probes = _assign_nearest(q, centroids, n_probe=n_probe).select(
         F.col("id").alias("q_id"), F.col("vec").alias("q_vec"), "cid"
-    )
+    ).withColumn("q_norm", norm_col(F.col("q_vec")))
     # NO broadcast hint on probes: for small query sets AQE broadcasts them
     # anyway, but a full-table self-query (the bench shape) would broadcast
     # the whole corpus x n_probe to every executor — let the planner choose
     cands = (
-        lists.join(probes, "cid")
+        lists.withColumn("n_norm", norm_col(F.col("vec")))
+        .join(probes, "cid")
         .filter(F.col("q_id") != F.col("id"))
         .select(
             "q_id",
             F.col("id").alias("n_id"),
-            F.round(cosine_col(F.col("q_vec"), F.col("vec")), 6).alias("cosine"),
+            F.round(
+                cosine_prenormed_col(
+                    F.col("q_vec"), F.col("vec"), F.col("q_norm"), F.col("n_norm")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .dropDuplicates(["q_id", "n_id"])
     )
@@ -283,18 +392,26 @@ def embed_near_dup_pairs(
 ) -> DataFrame:
     """Blocked embedding-cosine near-dup pairs (id_a < id_b, cosine)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    # self-join sides share g — truncate the lineage once
+    # self-join sides share g — truncate the lineage once; norms attach
+    # per id here, not per blocked pair (cosine_prenormed_col)
     g = df.select(
         F.col(id_col).alias("id"), block.alias("blk"), as_double(vec).alias("v")
-    ).localCheckpoint(eager=False)
-    a = g.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = g.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    ).withColumn("n", norm_col(F.col("v"))).localCheckpoint(eager=False)
+    a = g.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                 F.col("n").alias("n_a"))
+    b = g.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                 F.col("n").alias("n_b"))
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a", "id_b",
-            F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6).alias("cosine"),
+            F.round(
+                cosine_prenormed_col(
+                    F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+                ),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -43,7 +43,12 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import SparkSession
 
-ENGINE_VERSION = 1
+# Bump on any change to stage semantics or schemas: the version participates
+# in every stage fingerprint, so old checkpoint dirs invalidate and rebuild
+# instead of silently replaying stale results. v2 = round-4 nearest-predicate
+# attachment (sentences gained preds/pred_toks; subrels/triples semantics
+# changed from first-token-rule).
+ENGINE_VERSION = 2
 
 
 def fingerprint(*parts: str) -> str:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..operators import textprep
 from ..plans.pipeline import PipelineConfig, run_pipeline
 
 PAGES_SCHEMA = (
@@ -86,9 +87,16 @@ def stream_pages_to_triples(
             # whose new version yields NO triples leaves no trace in the
             # delta table itself, so without this the merge could not know
             # the url was re-processed and stale earlier-batch evidence
-            # would survive (latest_batch_per_url reads this sidecar)
+            # would survive (latest_batch_per_url reads this sidecar).
+            # Record only urls that actually ENTER the pipeline
+            # (filter_pages: lang + text/html-null) — a re-crawl whose new
+            # version is filtered out (lang changed, both text and html
+            # null) must NOT supersede earlier in-lang evidence, because the
+            # batch pipeline (filter_pages then dedup_latest_text) keeps the
+            # older in-lang version's triples there
             (
-                batch_df.select("url").distinct()
+                textprep.filter_pages(batch_df, config.lang)
+                .select("url").distinct()
                 .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")
                 .parquet(urls_manifest_path(out_path))

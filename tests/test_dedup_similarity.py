@@ -235,3 +235,75 @@ def test_multimodal_plumbing(spark):
     # the real-decode path is an explicit stub
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG....", fake=False)
+
+
+def test_er_hot_bucket_truncates_not_drops(spark):
+    """ER twin of test_simhash_hot_band_is_capped: surfaces "abc"*k (k>=2)
+    are DISTINCT strings with IDENTICAL char-shingle sets, so they share
+    one MinHash signature and collide in EVERY LSH band — the boilerplate-
+    title cluster guaranteed at web scale. With the old size-cap DROP such
+    a cluster emitted zero candidate pairs in every band and never
+    canonicalized; truncation keeps the first MAX_BLOCK_SIZE sorted members
+    pairing (bounded cost), CC merges them, and the rest stay singletons."""
+    from nary_relation_extraction_decomposed_spark.operators.er import (
+        MAX_BLOCK_SIZE,
+        canonical_map,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    n_hot = MAX_BLOCK_SIZE + 16
+    hot = ["abc" * k for k in range(2, 2 + n_hot)]  # sorted == by length
+    normal = ["acme corporation", "acme corporations", "zz unrelated thing"]
+    surfaces = spark.createDataFrame(
+        [(s,) for s in hot + normal], "surface_norm string"
+    )
+
+    sigs = minhash_signatures(surfaces)
+    pairs = {
+        (r["a"], r["b"]) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    hot_pairs = [(a, b) for a, b in pairs if a in set(hot) and b in set(hot)]
+    # the cluster IS represented (was a silent recall hole under the drop)...
+    assert hot_pairs
+    # ...but only via the deterministic first-MAX_BLOCK_SIZE sample
+    kept = set(sorted(hot)[:MAX_BLOCK_SIZE])
+    assert all(a in kept and b in kept for a, b in hot_pairs)
+    assert len(hot_pairs) == MAX_BLOCK_SIZE * (MAX_BLOCK_SIZE - 1) // 2
+
+    canon = {r["surface_norm"]: r["canonical"] for r in
+             canonical_map(surfaces).collect()}
+    # the sampled members all canonicalize to the cluster min; the
+    # beyond-cap tail stays singleton (documented bounded-recall trade)
+    assert {canon[s] for s in kept} == {"abcabc"}
+    for s in set(hot) - kept:
+        assert canon[s] == s
+    # normal near-pair behavior untouched
+    assert canon["acme corporation"] == canon["acme corporations"]
+    assert canon["zz unrelated thing"] == "zz unrelated thing"
+
+
+def test_hyperplane_buckets_match_spec_twin(spark):
+    """The codegen signer (hyperplane_buckets) must reproduce the spec twin
+    (hyperplane_signature_col's interpreted fold) bit-for-bit: same xxhash64
+    parity per (table, plane, pos), and the partial-agg sum accumulates the
+    exploded components in ascending pos order from one input row, matching
+    the spec's left fold exactly in IEEE double arithmetic."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    n_planes, n_tables = 4, 8
+    fast = {
+        (r["id"], r["tbl"]): r["bucket"]
+        for r in S.hyperplane_buckets(
+            em, "vec_id", "embedding", 64, n_planes, n_tables
+        ).collect()
+    }
+    v = S.as_double(F.col("embedding"))
+    spec_cols = [
+        S.hyperplane_signature_col(v, 64, n_planes, seed=42 + t).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    spec = {}
+    for r in em.select(F.col("vec_id").alias("id"), *spec_cols).collect():
+        for t in range(n_tables):
+            spec[(r["id"], t)] = r[f"b{t}"]
+    assert fast == spec
