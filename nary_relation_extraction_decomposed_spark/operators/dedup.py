@@ -94,6 +94,19 @@ def minhash_dup_candidates(
 ) -> DataFrame:
     """LSH candidate dup pairs (id_a < id_b) over word-shingle MinHash."""
     sigs = minhash_signatures_wide(df, id_col, text, shingle_n, bands * rows)
+    return minhash_pairs_from_sigs(sigs, bands, rows)
+
+
+def minhash_pairs_from_sigs(
+    sigs: DataFrame, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Banding + bucketing + capped pair expansion from PRECOMPUTED wide
+    signatures (id, h0..h{bands*rows-1}) — split out of
+    minhash_dup_candidates so the pair-generation step has a value-level
+    cross-engine oracle: on a committed signature fixture the bucket hash
+    equality xxhash64(h_i..h_j) == xxhash64(h_i'..h_j') reduces to tuple
+    equality of the band values, which DuckDB can group on directly
+    (plans/q_text.py dedup_minhash_pairs)."""
     band_structs = F.array(
         *[
             F.struct(

@@ -46,27 +46,27 @@ FROM lineitem
 """
 
 
-@query("filter_lang")
-def filter_lang(spark, sf_dir):
+@query("filter_regex")
+def filter_regex(spark, sf_dir):
+    """Predicate filter + regex filter/extract in ONE key (merged round 5
+    to free a driver-window slot for dedup_minhash_pairs — the r2
+    agg_stats pattern: both original operators still run, tagged)."""
     d = _t(spark, sf_dir, "documents")
-    return d.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select(
-        "doc_id", "lang", "n_chars"
+    lang = d.filter((F.col("lang") == "en") & (F.col("n_chars") > 200)).select(
+        F.lit("lang").alias("kind"), "doc_id", F.col("lang").alias("val")
     )
-
-ORACLES["filter_lang"] = """
-SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 200
-"""
-
-
-@query("regex_filter")
-def regex_filter(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.filter(F.col("text").rlike("join [a-z]+ merge")).select(
-        "doc_id", F.regexp_extract("text", "join [a-z]+ merge", 0).alias("snippet")
+    rx = d.filter(F.col("text").rlike("join [a-z]+ merge")).select(
+        F.lit("regex").alias("kind"),
+        "doc_id",
+        F.regexp_extract("text", "join [a-z]+ merge", 0).alias("val"),
     )
+    return lang.unionByName(rx)
 
-ORACLES["regex_filter"] = """
-SELECT doc_id, regexp_extract(text, 'join [a-z]+ merge') AS snippet
+ORACLES["filter_regex"] = """
+SELECT 'lang' AS kind, doc_id, lang AS val
+FROM documents WHERE lang = 'en' AND n_chars > 200
+UNION ALL
+SELECT 'regex', doc_id, regexp_extract(text, 'join [a-z]+ merge')
 FROM documents WHERE regexp_matches(text, 'join [a-z]+ merge')
 """
 
@@ -137,31 +137,28 @@ ON o_custkey = c_custkey
 """
 
 
-@query("join_semi")
-def join_semi(spark, sf_dir):
+@query("join_semi_anti")
+def join_semi_anti(spark, sf_dir):
+    """left_semi + left_anti joins in ONE key (merged round 5 to free a
+    driver-window slot for dedup_simhash_pairs): both physical join types
+    still execute, outputs tagged and unioned."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
-        "c_custkey", "c_name"
+    o_big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o_big, c["c_custkey"] == o_big["o_custkey"], "left_semi").select(
+        F.lit("semi").alias("kind"), "c_custkey", "c_name"
     )
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.lit("anti").alias("kind"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
 
-ORACLES["join_semi"] = """
-SELECT c_custkey, c_name FROM customer
+ORACLES["join_semi_anti"] = """
+SELECT 'semi' AS kind, c_custkey, c_name FROM customer
 WHERE EXISTS (SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_totalprice > 100000)
-"""
-
-
-@query("join_anti")
-def join_anti(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
-        "c_custkey", "c_acctbal"
-    )
-
-ORACLES["join_anti"] = """
-SELECT c_custkey, c_acctbal FROM customer
+UNION ALL
+SELECT 'anti', c_custkey, c_name FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 

@@ -5,6 +5,8 @@ surface). SQL-expressible ones carry DuckDB oracles; hash-family ops
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from ..functions import text_metrics as TM
@@ -125,6 +127,91 @@ def dedup_simhash(spark, sf_dir):
         spark.sparkContext.defaultParallelism * 2
     )
     return D.simhash_signatures(d, "doc_id", F.col("text"))
+
+
+# --- value-level cross-engine oracles for the PAIR GENERATION step of the
+# hash-family dedups (VERDICT r4 #6). Signature VALUES are xxhash64-family
+# (rows-only above, forever), but the relational logic downstream — band
+# grouping, deterministic bucket truncation, in-bucket pair expansion,
+# hamming threshold — is exactly recomputable by DuckDB from a COMMITTED
+# signature fixture both engines read (fixtures/gen_sigs.py; sf0.001
+# documents + planted near/exact dupes, 1500 rows). Bucket-hash equality
+# xxhash64(h_i..h_j) == xxhash64(..) reduces to tuple equality of the raw
+# band values, so the oracle groups on the tuple; simhash band keys are
+# plain shift/mask arithmetic, verified identical in both engines
+# (arithmetic >> on negative BIGINT, bit_count, xor).
+
+_SIG_FIX_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "data")
+)
+_MINHASH_FIX = os.path.join(_SIG_FIX_DIR, "minhash_sigs.parquet")
+_SIMHASH_FIX = os.path.join(_SIG_FIX_DIR, "simhash_sigs.parquet")
+
+
+@query("dedup_minhash_pairs")
+def dedup_minhash_pairs(spark, sf_dir):
+    """LSH banding -> capped buckets -> candidate pairs from the committed
+    MinHash signature fixture (operator under test:
+    dedup.minhash_pairs_from_sigs; sf_dir intentionally unused — both
+    engines must read the SAME signatures for the values to be
+    comparable)."""
+    sigs = spark.read.parquet(_MINHASH_FIX)
+    return D.minhash_pairs_from_sigs(sigs, bands=16, rows=4)
+
+
+def _minhash_pairs_oracle() -> str:
+    bands_sql = "\n  UNION ALL ".join(
+        f"SELECT id, {b} AS band, h{4 * b} AS k0, h{4 * b + 1} AS k1, "
+        f"h{4 * b + 2} AS k2, h{4 * b + 3} AS k3 FROM sigs"
+        for b in range(16)
+    )
+    return f"""
+WITH sigs AS (SELECT * FROM read_parquet('{_MINHASH_FIX}')),
+bands AS (
+  {bands_sql}
+),
+ranked AS (
+  SELECT id, band, k0, k1, k2, k3,
+         row_number() OVER (PARTITION BY band, k0, k1, k2, k3 ORDER BY id) AS rn
+  FROM bands
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM ranked a JOIN ranked b
+  ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+ AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.rn < b.rn
+WHERE a.rn <= 64 AND b.rn <= 64
+"""
+
+
+ORACLES["dedup_minhash_pairs"] = _minhash_pairs_oracle()
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark, sf_dir):
+    """Pigeonhole banding -> capped buckets -> hamming-verified near pairs
+    from the committed SimHash signature fixture (operator under test:
+    dedup.simhash_near_pairs; max_hamming=8 -> 9 bands of 7 bits)."""
+    sigs = spark.read.parquet(_SIMHASH_FIX)
+    return D.simhash_near_pairs(sigs, max_hamming=8)
+
+
+ORACLES["dedup_simhash_pairs"] = f"""
+WITH sigs AS (SELECT * FROM read_parquet('{_SIMHASH_FIX}')),
+bands AS (
+  SELECT id, simhash, b.band, (simhash >> (b.band * 7)) & 127 AS key
+  FROM sigs, (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) b(band)
+),
+ranked AS (
+  SELECT id, simhash, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY id, simhash) AS rn
+  FROM bands
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM ranked a JOIN ranked b ON a.band = b.band AND a.key = b.key AND a.rn < b.rn
+WHERE a.rn <= 64 AND b.rn <= 64
+  AND bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
 
 
 def _be(col, nbytes):

@@ -61,6 +61,11 @@ KEY_ORDER = (
     "fingerprint",
     "dedup_exact",
     "dedup_ngram",
+    # pair generation of the hash-family dedups, value-checked against a
+    # committed signature fixture (r5; the signatures themselves stay
+    # rows-only — see ROWS_ONLY_KEYS)
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     # --- scalar-function surface (rows 38-46) ---
     "str_norm",
     "mm_meta",
@@ -73,13 +78,13 @@ KEY_ORDER = (
     "binary_meta",
     # --- relational surface (rows 8-37) ---
     "project_basic",
-    "filter_lang",
-    "regex_filter",
+    # filter_lang + regex_filter merged r5 (both filters still run, tagged)
+    "filter_regex",
     "dedup_url",
     "join_broadcast",
     "join_left",
-    "join_semi",
-    "join_anti",
+    # join_semi + join_anti merged r5 (both join types still run, tagged)
+    "join_semi_anti",
     "pairs_selfjoin",
     "join_interval",
     "join_asof",

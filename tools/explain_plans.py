@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = "/root/testdata/sf0.01"
 
 CASES = [
-    ("filter_lang", "predicate pushdown + column pruning reach the parquet scan"),
+    ("filter_regex", "predicate pushdown + column pruning reach the parquet scan"),
     ("join_broadcast", "dimension joins planned as BroadcastHashJoin"),
     ("agg_stats", "partial (map-side) + final HashAggregate + distinct expand, whole-stage codegen"),
     ("rejoin_triples", "the decompose/rejoin equi-join shape"),
