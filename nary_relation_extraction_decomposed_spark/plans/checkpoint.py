@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import posixpath
 import time
 from dataclasses import dataclass, field
@@ -173,4 +174,12 @@ class StageCheckpointer:
             manifest_path, json.dumps(manifest, indent=1, sort_keys=True)
         )
         self.stats[stage] = {"skipped": False, "manifest": manifest}
+        # Test-only determinism gate (ADVICE r4 #4): park right after this
+        # stage's manifest commits so a kill-resume test can SIGKILL a
+        # guaranteed-mid-pipeline process instead of racing a poll loop
+        # against stage timing (later stages provably unstarted). Unset in
+        # production; the paused process never proceeds and is killed.
+        if os.environ.get("NARY_KG_TEST_PAUSE_AFTER_STAGE") == stage:
+            while True:  # pragma: no cover - exited only by SIGKILL
+                time.sleep(0.1)
         return out, fp

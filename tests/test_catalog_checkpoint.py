@@ -150,28 +150,33 @@ def test_sigkill_mid_stage_resume_byte_identical(spark, tmp_path, fixture_dir):
     ck = str(tmp_path / "ck")
     out1 = str(tmp_path / "out_resumed")
 
-    def launch(out_dir):
+    def launch(out_dir, pause_after=None):
+        env = dict(os.environ)
+        if pause_after:
+            # deterministic mid-pipeline gate (ADVICE r4 #4): the subprocess
+            # parks right after this stage's manifest commits, so the kill
+            # can neither land after the final write nor miss a fast run
+            env["NARY_KG_TEST_PAUSE_AFTER_STAGE"] = pause_after
         return subprocess.Popen(
             [sys.executable, os.path.join(repo, "jobs", "run_pipeline.py"),
              "--pages", pages_path, "--fixtures", fixture_dir,
              "--output", out_dir, "--checkpoint", ck,
              "--shuffle-partitions", "8"],
             cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True,
+            text=True, env=env,
         )
 
-    # run 1: SIGKILL as soon as docs+mentions manifests are committed
-    proc = launch(out1)
+    # run 1: the process parks after the mentions manifest commits (docs
+    # committed before it); SIGKILL it there — guaranteed mid-stage
+    proc = launch(out1, pause_after="mentions")
     kill_after = [os.path.join(ck, s, "manifest.json")
                   for s in ("docs", "mentions")]
     deadline = time.time() + 300
     try:
         while time.time() < deadline:
-            if proc.poll() is not None:
-                raise AssertionError(
-                    "pipeline finished before the kill window — subset too "
-                    "small for a mid-stage SIGKILL test"
-                )
+            assert proc.poll() is None, (
+                "pipeline exited while parked at the test gate"
+            )
             if all(os.path.exists(p) for p in kill_after):
                 proc.send_signal(signal.SIGKILL)
                 break
