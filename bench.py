@@ -415,7 +415,8 @@ def main() -> None:
         kept number is the MINIMUM wall across attempts — the capability
         measurement on a shared-steal box — with ITS steal recorded."""
         best = None
-        for attempt in range(1, MAX_ATTEMPTS_STEAL + 1):
+        # honor a user-raised base cap even past the steal-extension default
+        for attempt in range(1, max(MAX_ATTEMPTS, MAX_ATTEMPTS_STEAL) + 1):
             reset_between_entries()
             s0, c0 = _cpu_stat()
             t0 = time.time()

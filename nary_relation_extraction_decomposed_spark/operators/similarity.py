@@ -86,10 +86,27 @@ def ann_topk_bruteforce(
     )
 
 
+def _micro(x: Column) -> Column:
+    """Vector component -> integer micro-units (round(x * 1e6) as bigint).
+
+    The plane sums that decide LSH sign bits MUST be accumulation-order
+    independent: float addition is not associative, and Spark guarantees no
+    row order inside an aggregate once partial hash aggregation spills to
+    sort-based runs — a near-zero double sum could flip sign between runs
+    or between the fast/spec implementations. Integer sums are exact in any
+    order (same trick as centroids_sql / ivf_index). 1e-6 granularity on
+    unit-scale embedding components leaves the sign decision unchanged for
+    any sum farther than n_dim*5e-7 from zero; exact zero maps to bit=1 in
+    both implementations."""
+    return F.round(x * 1000000.0, 0).cast("bigint")
+
+
 def hyperplane_signature_col(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
     """Random-hyperplane LSH signature as a bigint bucket key. Plane (p, d)
     component = deterministic pseudo-random in {-1,+1} from xxhash64(seed,p,d)
-    — content-free, reproducible on any cluster, no stored model.
+    — content-free, reproducible on any cluster, no stored model. Signed
+    sums run in integer micro-units (_micro) so the sign bits are exact and
+    partition/spill-order-free.
 
     SPEC TWIN ONLY: higher-order `aggregate(zip_with(...))` lambdas are
     INTERPRETED expressions — n_tables x n_planes of them re-walk every
@@ -101,15 +118,16 @@ def hyperplane_signature_col(vec: Column, dim: int, n_planes: int, seed: int = 4
     def _signer(p: int):
         def sign(x, d):
             return F.when(
-                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2)) == 0, x
-            ).otherwise(-x)
+                F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2)) == 0,
+                _micro(x),
+            ).otherwise(-_micro(x))
 
         return sign
 
     sig = None
     for p in range(n_planes):
         comp = F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), _signer(p))
-        s = F.aggregate(comp, F.lit(0.0), lambda acc, x: acc + x)
+        s = F.aggregate(comp, F.lit(0).cast("long"), lambda acc, x: acc + x)
         bit = F.when(s >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig.bitwiseOR(bit)
     return sig
@@ -129,17 +147,22 @@ def hyperplane_buckets(
     minhash_signatures/simhash_signatures): posexplode the vector ONCE,
     compute all n_tables x n_planes signed sums as codegen'd conditional
     sum() aggregates in ONE groupBy(id) (map-side partial agg; shuffle
-    payload = n_tables*n_planes doubles per row), fold sign bits per table
+    payload = n_tables*n_planes longs per row), fold sign bits per table
     in a select, explode to (tbl, bucket) rows.
 
-    Bit-identical to the spec twin for fixed-dim vectors: the per-component
-    sign is the same xxhash64(seed_base+t, p, pos) parity over the same
-    IntegerType inputs, and double addition of the same components in
-    ascending pos order matches the spec's left fold. Rows whose vector is
-    null/empty produce NO bucket rows (the spec twin null-poisons them into
-    bucket 0 of every table — an all-malformed-rows-collide bucket; being
-    candidates for nothing is the better behavior, and fixed-dim corpora
-    have neither)."""
+    Bit-identical to the spec twin for well-formed (fixed-dim, no-null-
+    element) vectors: the per-component sign is the same
+    xxhash64(seed_base+t, p, pos) parity over the same IntegerType inputs,
+    and the signed sums run in integer micro-units (_micro) — exact under
+    ANY accumulation order, so hash-agg spill to sort-based runs cannot
+    flip a near-zero plane (float sums would not survive that). Divergence
+    classes vs the spec twin, all malformed-input only: (a) null/empty
+    vectors produce NO bucket rows here, while the twin null-poisons them
+    into bucket 0 of every table (an all-malformed-rows-collide bucket —
+    candidates-for-nothing is the better behavior); (b) a null ELEMENT or
+    a shorter-than-dim vector likewise null-poisons the twin but here sums
+    the non-null/present components. Fixed-dim corpora have none of the
+    three."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
@@ -153,8 +176,8 @@ def hyperplane_buckets(
                     F.lit(2),
                 )
                 == 0,
-                F.col("x"),
-            ).otherwise(-F.col("x"))
+                _micro(F.col("x")),
+            ).otherwise(-_micro(F.col("x")))
             aggs.append(F.sum(signed).alias(f"_s_{t}_{p}"))
     wide = ex.groupBy("id").agg(*aggs)
 

@@ -179,7 +179,7 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM ranked a JOIN ranked b
   ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
  AND a.k2 = b.k2 AND a.k3 = b.k3 AND a.rn < b.rn
-WHERE a.rn <= 64 AND b.rn <= 64
+WHERE a.rn <= {D.MAX_BLOCK_SIZE} AND b.rn <= {D.MAX_BLOCK_SIZE}
 """
 
 
@@ -209,7 +209,7 @@ ranked AS (
 SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM ranked a JOIN ranked b ON a.band = b.band AND a.key = b.key AND a.rn < b.rn
-WHERE a.rn <= 64 AND b.rn <= 64
+WHERE a.rn <= {D.MAX_BLOCK_SIZE} AND b.rn <= {D.MAX_BLOCK_SIZE}
   AND bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 

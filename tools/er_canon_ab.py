@@ -43,11 +43,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 DRAW_PAIRS = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
 
 
-def _cpu_stat() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+from bench import _cpu_stat  # noqa: E402  (one steal-accounting impl)
 
 
 def lsh_candidate_pairs_drop(sigs, col="surface_norm"):
