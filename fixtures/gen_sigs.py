@@ -76,6 +76,41 @@ def main() -> None:
     sh.to_parquet(os.path.join(OUT_DIR, "simhash_sigs.parquet"), index=False)
     print(f"minhash_sigs: {len(mh)} rows x {len(mh.columns)} cols")
     print(f"simhash_sigs: {len(sh)} rows")
+
+    # hyperplane sign table: the ONE xxhash64-derived artifact of the
+    # ann_lsh key. sgn(tbl, plane, pos) = +1/-1 from the SAME IntegerType
+    # xxhash64 parity similarity.hyperplane_buckets evaluates, so DuckDB
+    # can recompute buckets (integer micro-unit sums + bit-fold) and the
+    # full ANN result exactly (plans/q_vector.py ORACLES['ann_lsh']).
+    # dim=64 (the embeddings fixture), n_planes=4, n_tables=8, seed 42 —
+    # the ann_lsh key's parameters.
+    sg = (
+        spark.range(8).select(F.col("id").cast("int").alias("tbl"))
+        .crossJoin(spark.range(4).select(F.col("id").cast("int").alias("plane")))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("pos")))
+        .select(
+            "tbl", "plane", "pos",
+            F.when(
+                F.pmod(
+                    F.xxhash64(
+                        (F.col("tbl") + F.lit(42)).cast("int"),
+                        F.col("plane"),
+                        F.col("pos"),
+                    ),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("sgn"),
+        )
+        .toPandas()
+        .sort_values(["tbl", "plane", "pos"]).reset_index(drop=True)
+    )
+    sg.to_parquet(os.path.join(OUT_DIR, "hyperplane_signs.parquet"), index=False)
+    print(f"hyperplane_signs: {len(sg)} rows, sum sgn = {int(sg.sgn.sum())}")
     spark.stop()
 
 

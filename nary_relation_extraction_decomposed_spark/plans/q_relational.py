@@ -362,28 +362,6 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 # ---------------------------------------------------------------- E. windows
 
-@query("win_rownum")
-def win_rownum(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    return (
-        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= 3)
-        .select("c_nationkey", "c_custkey", "rn")
-    )
-
-ORACLES["win_rownum"] = """
-SELECT c_nationkey, c_custkey, CAST(rn AS BIGINT) AS rn
-FROM (SELECT c_nationkey, c_custkey,
-             row_number() OVER (PARTITION BY c_nationkey
-                                ORDER BY c_acctbal DESC, c_custkey) rn
-      FROM customer) t
-WHERE rn <= 3
-"""
-
-
 @query("win_frame")
 def win_frame(spark, sf_dir):
     """lag/lead AND frame-spec aggregate in ONE key (SURVEY §2 rows 29, 30;
@@ -416,9 +394,11 @@ FROM events
 @query("win_topk")
 def win_topk(spark, sf_dir):
     """Top-k per group + the whole rank family in ONE key (SURVEY §2
-    rows 28, 31; merged round 2): one window shuffle computes
-    row_number/rank/dense_rank/ntile/percent_rank/cume_dist, then the
-    row_number filter takes the per-group top-5."""
+    rows 28, 31; merged round 2; the standalone win_rownum key folded in
+    round 5 — row_number + its top-k filter both execute right here — to
+    free the driver-window slot for ann_lsh's new exact oracle): one
+    window shuffle computes row_number/rank/dense_rank/ntile/percent_rank/
+    cume_dist, then the row_number filter takes the per-group top-5."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return (

@@ -24,12 +24,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 # cross-engine SQL twin by design); they are pinned by pytest invariants
 # and MUST sort after every oracle-bearing key.
 ROWS_ONLY_KEYS = (
+    # ann_lsh left this list in r5: its one hash-derived artifact (the
+    # plane-sign pattern) is committed as a fixture DuckDB reads, making
+    # the full ANN result exactly recomputable cross-engine.
     "minhash_sig",
     "lsh_blocks",
     "agg_approx",
     "dedup_minhash",
     "dedup_simhash",
-    "ann_lsh",
     "mm_features",
 )
 
@@ -54,6 +56,9 @@ KEY_ORDER = (
     "win_session",
     # --- vector / similarity (rows 27, 55 + LLM-pipeline surface) ---
     "ann_topk",
+    # oracle-bearing since r5 (hyperplane-sign fixture; slot freed by
+    # folding win_rownum into win_topk)
+    "ann_lsh",
     "dedup_embed",
     "agg_centroid",
     # --- text analysis + dedup (LLM-pipeline surface) ---
@@ -93,7 +98,8 @@ KEY_ORDER = (
     "agg_collect",
     "agg_rollup",
     "agg_pivot",
-    "win_rownum",
+    # win_rownum folded into win_topk r5 (row_number + top-k filter both
+    # still execute there)
     "win_frame",
     "win_topk",
     "topk_global",
