@@ -84,3 +84,32 @@ def test_auto_dispatch_by_dictionary_size(spark, fixture_dir, docs):
     # default ceiling keeps the broadcast path; result is unchanged
     assert _rows(M.detect_mentions_auto(docs, gaz)) == want
     docs.unpersist()
+
+
+def test_join_path_normalizes_messy_dictionary_whitespace(spark):
+    """ADVICE r4 pin: a dictionary surface with a double space or tab
+    matches via the broadcast trie (token-tuple key from str.split()) but
+    could never equal a single-space-joined candidate n-gram — the join
+    path must whitespace-normalize surfaces first so both paths stay
+    convergent on non-normalized dictionaries. Tie parity: the trie's
+    sorted(rows) rule means the minimum (raw surface, ent_id, ent_type)
+    claims a collapsed key."""
+    docs = spark.createDataFrame(
+        [("u1", "acme corp hired bob smith")], "url string, text string"
+    )
+    gaz = spark.createDataFrame(
+        [
+            ("acme  corp", "E1", "ORG"),      # double space
+            ("acme corp", "E2", "ORG"),       # normalized twin, larger raw
+            ("bob\tsmith", "E3", "PER"),      # tab separator
+            ("  acme corp  ", "E9", "ORG"),   # leading/trailing whitespace
+        ],
+        "surface_norm string, ent_id string, ent_type string",
+    )
+    want = _rows(M.detect_mentions(docs, gaz))
+    got = _rows(M.detect_mentions_join(docs, gaz))
+    assert got == want
+    # both paths found both entities, under the trie's tie rule:
+    # "  acme corp  " < "acme  corp" < "acme corp" as raw strings -> E9
+    by_ent = {r[2] for r in want}
+    assert by_ent == {"E9", "E3"}

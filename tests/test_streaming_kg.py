@@ -166,3 +166,54 @@ def test_streaming_recrawl_supersedes_earlier_batch(spark, fixture_dir, tmp_path
     }
     assert naive != want
     pages.unpersist()
+
+
+def test_streaming_filtered_recrawl_does_not_supersede(spark, fixture_dir, tmp_path):
+    """ADVICE r4 pin: a re-crawl whose NEW version is filtered OUT of the
+    pipeline (lang changed here; text/html-null is the same gate) must NOT
+    supersede the url's earlier in-lang evidence. The batch pipeline runs
+    filter_pages BEFORE dedup_latest_text, so the out-of-lang v2 never
+    competes and v1's triples stand — the processed-urls manifest therefore
+    records only urls that actually ENTER the pipeline. (The pre-fix
+    manifest recorded raw batch urls, so latest_batch_per_url dropped v1's
+    evidence for exactly these urls.)"""
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(
+        (F.xxhash64("url") % 8 == 0) & F.col("text").isNotNull()
+    ).persist()
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    cfg = PipelineConfig(canonicalize=False)
+
+    recrawl = pages.filter(F.pmod(F.xxhash64("url", F.lit(3)), F.lit(2)) == 0)
+    assert recrawl.count() > 0
+    v2 = recrawl.withColumn("lang", F.lit("de")).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 DAY")
+    )
+    src = str(tmp_path / "pages_in")
+    pages.coalesce(1).write.parquet(src, mode="overwrite")
+    v2.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "url_deltas")
+    KS.stream_pages_to_triples(
+        KS.read_pages_stream(spark, src, max_files=1),
+        gaz, rules, cfg, out, str(tmp_path / "ck"), url_level=True,
+    )
+    # the manifest must NOT contain a batch-1 row for the filtered urls —
+    # batch 1 contributed nothing to the pipeline
+    man = KS.read_urls_manifest(spark, out)
+    assert man is not None
+    assert man.filter(F.col("batch_id") == 1).count() == 0
+
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.merge_triple_deltas(spark, out).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages.unionByName(v2), gaz, rules, cfg
+        ).triples.collect()
+    }
+    assert got == want and got
+    pages.unpersist()
