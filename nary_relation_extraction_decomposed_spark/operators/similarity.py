@@ -163,10 +163,17 @@ def hyperplane_buckets(
     a shorter-than-dim vector likewise null-poisons the twin but here sums
     the non-null/present components. Fixed-dim corpora have none of the
     three."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
-    ).filter(F.col("pos") < dim)
+    # quantize ONCE in the projection — inside the aggs the round+cast
+    # would be re-evaluated n_tables*n_planes times per exploded row
+    # (measured +~50% on the sf0.1 self-query before it was hoisted)
+    ex = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(as_double(F.col(vec_col))).alias("pos", "x"),
+        )
+        .filter(F.col("pos") < dim)
+        .select("id", "pos", _micro(F.col("x")).alias("q"))
+    )
     aggs = []
     for t in range(n_tables):
         for p in range(n_planes):
@@ -176,8 +183,8 @@ def hyperplane_buckets(
                     F.lit(2),
                 )
                 == 0,
-                _micro(F.col("x")),
-            ).otherwise(-_micro(F.col("x")))
+                F.col("q"),
+            ).otherwise(-F.col("q"))
             aggs.append(F.sum(signed).alias(f"_s_{t}_{p}"))
     wide = ex.groupBy("id").agg(*aggs)
 
