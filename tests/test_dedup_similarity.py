@@ -307,3 +307,73 @@ def test_hyperplane_buckets_match_spec_twin(spark):
         for t in range(n_tables):
             spec[(r["id"], t)] = r[f"b{t}"]
     assert fast == spec
+
+
+def test_pair_generators_match_python_reference_on_random_sigs(spark):
+    """Independent recomputation of BOTH pair generators over seeded random
+    signature tables (beyond the committed-fixture DuckDB oracles, which
+    pin one input): a pure-Python reference implements band-group /
+    sort / truncate-to-MAX_BLOCK_SIZE / pair-expand, and the Spark SQL
+    shapes must emit exactly its pair sets. Inputs force collisions —
+    a 100-row identical-signature hot cluster (over-cap in every band)
+    plus small-alphabet random columns."""
+    import numpy as np
+
+    from nary_relation_extraction_decomposed_spark.operators import dedup as D
+    from nary_relation_extraction_decomposed_spark.operators.er import (
+        MAX_BLOCK_SIZE,
+    )
+
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        n, perms = 240, 64
+        sig = rng.integers(0, 3, size=(n, perms)).astype(np.int64)
+        sig[:100] = sig[0]  # hot cluster: identical in every band
+        ids = np.arange(n, dtype=np.int64)
+
+        rows = [(int(i), *map(int, sig[k])) for k, i in enumerate(ids)]
+        cols = ", ".join(f"h{j} bigint" for j in range(perms))
+        sigs_df = spark.createDataFrame(rows, f"id bigint, {cols}")
+
+        # ---- python reference: minhash banding (16 bands x 4 rows)
+        want = set()
+        for b in range(16):
+            buckets: dict = {}
+            for k in range(n):
+                key = tuple(sig[k, 4 * b : 4 * b + 4])
+                buckets.setdefault(key, []).append(int(ids[k]))
+            for members in buckets.values():
+                members = sorted(members)[:MAX_BLOCK_SIZE]
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        want.add((members[x], members[y]))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_pairs_from_sigs(sigs_df).collect()
+        }
+        assert got == want, f"minhash seed {seed}"
+
+        # ---- python reference: simhash banding (9 bands x 7 bits, mh=8)
+        sh = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+        sh[:100] = sh[0]
+        sh_df = spark.createDataFrame(
+            [(int(i), int(s)) for i, s in zip(ids, sh)], "id bigint, simhash bigint"
+        )
+        want_s = set()
+        for b in range(9):
+            buckets = {}
+            for k in range(n):
+                key = (int(sh[k]) >> (b * 7)) & 127
+                buckets.setdefault(key, []).append((int(ids[k]), int(sh[k])))
+            for members in buckets.values():
+                members = sorted(members)[:MAX_BLOCK_SIZE]
+                for x in range(len(members)):
+                    for y in range(x + 1, len(members)):
+                        ham = bin((members[x][1] ^ members[y][1]) & (2**64 - 1)).count("1")
+                        if ham <= 8:
+                            want_s.add((members[x][0], members[y][0], ham))
+        got_s = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in D.simhash_near_pairs(sh_df, max_hamming=8).collect()
+        }
+        assert got_s == want_s, f"simhash seed {seed}"
