@@ -62,12 +62,15 @@ _RE_HSPACE = re.compile(r"[ \t\r\f\v ]+")
 
 def _decode_entity(m: re.Match) -> str:
     body = m.group(1)
-    if body.startswith("#x") or body.startswith("#X"):
-        cp = int(body[2:], 16)
-    elif body.startswith("#"):
-        cp = int(body[1:], 10)
-    else:
+    # named entities first — the overwhelmingly common case in real pages
+    # (identical decision tree as before: the entity regex guarantees a
+    # body starting with '#' is a numeric reference and vice versa)
+    if body[0] != "#":
         return _ENTITIES.get(body, m.group(0))
+    if body[1] in "xX":
+        cp = int(body[2:], 16)
+    else:
+        cp = int(body[1:], 10)
     if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
         return chr(cp)
     return "�"
@@ -94,10 +97,15 @@ def extract_text(html: bytes | None) -> str:
     s = _RE_BLOCK.sub("\n", s)
     s = _RE_TAG.sub("", s)
     s = _RE_ENTITY.sub(_decode_entity, s)
-    # Collapse horizontal whitespace, then drop empty lines.
+    # Collapse horizontal whitespace in ONE pass over the whole string —
+    # the hspace class contains no '\n', so a run can never cross a line
+    # boundary and the global sub is byte-identical to the old per-line
+    # sub (which dominated the extractor profile at ~1 regex call per
+    # output line) — then strip/drop per line as before.
+    s = _RE_HSPACE.sub(" ", s)
     lines = []
     for raw in s.split("\n"):
-        line = _RE_HSPACE.sub(" ", raw).strip()
+        line = raw.strip()
         if line:
             lines.append(line)
     return "\n".join(lines)
