@@ -377,3 +377,29 @@ def test_pair_generators_match_python_reference_on_random_sigs(spark):
             for r in D.simhash_near_pairs(sh_df, max_hamming=8).collect()
         }
         assert got_s == want_s, f"simhash seed {seed}"
+
+
+def test_hyperplane_zero_vector_tie_bits(spark):
+    """Quantized-sum tie semantics: a zero vector has every plane sum
+    exactly 0, and `sum >= 0` must set the bit in BOTH implementations —
+    all-ones bucket in every table, identically (the sign decision at
+    exactly zero is part of the frozen contract; integer sums make it
+    reachable deterministically)."""
+    df = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    n_planes, n_tables = 4, 3
+    fast = {
+        (r["id"], r["tbl"]): r["bucket"]
+        for r in S.hyperplane_buckets(df, "vec_id", "embedding", 64, n_planes, n_tables).collect()
+    }
+    all_ones = (1 << n_planes) - 1
+    assert fast == {(i, t): all_ones for i in (1, 2) for t in range(n_tables)}
+    v = S.as_double(F.col("embedding"))
+    spec = df.select(
+        "vec_id", *[S.hyperplane_signature_col(v, 64, n_planes, seed=42 + t).alias(f"b{t}")
+                    for t in range(n_tables)]
+    ).collect()
+    for r in spec:
+        for t in range(n_tables):
+            assert r[f"b{t}"] == all_ones
