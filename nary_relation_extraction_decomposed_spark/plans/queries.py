@@ -7,8 +7,8 @@ key has a DuckDB twin in plans/oracles.py with IDENTICAL column aliases
 REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate checks
 the first 50 keys of this dict in iteration order. Round 1 buried the
 entire KG core past position 50, so KEY_ORDER now pins an explicit order:
-all oracle-bearing keys first (KG pipeline keys leading), the 7 rows-only
-sketch/hash-family keys last. register_all() asserts the invariant so a
+all oracle-bearing keys first (KG pipeline keys leading), the rows-only
+sketch/hash-family keys (6 as of r5) last. register_all() asserts the invariant so a
 new oracle key can never silently land outside the checked window again.
 """
 

@@ -403,3 +403,44 @@ def test_hyperplane_zero_vector_tie_bits(spark):
     for r in spec:
         for t in range(n_tables):
             assert r[f"b{t}"] == all_ones
+
+
+def test_hyperplane_signs_fixture_matches_engine(spark):
+    """The ann_lsh oracle's committed sign table
+    (tests/fixtures/data/hyperplane_signs.parquet, fixtures/gen_sigs.py)
+    must agree with the ENGINE's own sign convention — recomputed here
+    THROUGH hyperplane_buckets itself, not by restating the parity
+    expression: for the one-hot basis vector e_pos, plane (t, p)'s signed
+    sum is exactly sgn(t, p, pos) * 1e6, so bucket bit p is set iff
+    sgn = +1. Any future seed/parity/type change in similarity.py that is
+    not regenerated into the fixture fails HERE instead of as an opaque
+    driver-time oracle mismatch."""
+    import pandas as pd
+
+    signs = pd.read_parquet("tests/fixtures/data/hyperplane_signs.parquet")
+    n_tables = int(signs.tbl.max()) + 1
+    n_planes = int(signs.plane.max()) + 1
+    dim = int(signs.pos.max()) + 1
+    assert (n_tables, n_planes, dim) == (8, 4, 64)
+
+    basis = [
+        (pos, [1.0 if i == pos else 0.0 for i in range(dim)])
+        for pos in range(dim)
+    ]
+    df = spark.createDataFrame(basis, "vec_id bigint, embedding array<double>")
+    buckets = {
+        (r["id"], r["tbl"]): r["bucket"]
+        for r in S.hyperplane_buckets(
+            df, "vec_id", "embedding", dim, n_planes, n_tables
+        ).collect()
+    }
+    want = {
+        (int(r.pos), int(r.tbl), int(r.plane)): int(r.sgn)
+        for r in signs.itertuples()
+    }
+    for pos in range(dim):
+        for t in range(n_tables):
+            b = buckets[(pos, t)]
+            for p in range(n_planes):
+                engine_sgn = 1 if (b >> p) & 1 else -1
+                assert engine_sgn == want[(pos, t, p)], (pos, t, p)
