@@ -3,10 +3,11 @@ with typed metadata.
 
 The Spark side is REAL and tested: schemas, Arrow batch shapes, mapInPandas
 signatures, partition-friendly layout. METADATA is also real: pure-Python,
-dependency-free header parses extract width/height from PNG IHDR and JPEG
-SOFn markers and sample-rate/channels/duration from WAV fmt/data chunks
-(tests/test_multimodal_headers.py runs them over hand-built byte
-fixtures). Only PIXEL decode is stubbed (no image/audio libraries ship in
+dependency-free header parses extract width/height from PNG IHDR, JPEG
+SOFn markers and the GIF logical screen descriptor, sample-rate/channels/
+duration from WAV fmt/data chunks, and duration from the MP4 (ISO BMFF)
+moov/mvhd box (tests/test_multimodal_headers.py runs them over hand-built
+byte fixtures). Only PIXEL decode is stubbed (no image/audio libraries ship in
 this container): decode_image raises NotImplementedError unless the
 deterministic fake decoder is requested — exactly the seam where
 PIL/ffmpeg drops in at deployment.
@@ -35,6 +36,7 @@ _MAGIC_KINDS = {
     b"\xff\xd8\xff": "image/jpeg",
     b"RIFF": "audio/wav",
     b"OggS": "audio/ogg",
+    b"GIF8": "image/gif",
 }
 
 
@@ -44,6 +46,9 @@ def sniff_kind(payload: bytes | None) -> str:
     for magic, kind in _MAGIC_KINDS.items():
         if payload[: len(magic)] == magic:
             return kind
+    # ISO BMFF (MP4 family): the magic sits at offset 4 ('ftyp' box type)
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
@@ -90,6 +95,58 @@ def parse_jpeg_size(p: bytes) -> tuple[int, int] | None:
     return None
 
 
+def parse_gif_size(p: bytes) -> tuple[int, int] | None:
+    """Width/height from the GIF logical screen descriptor (GIF87a/89a
+    signature, then width(2,LE)+height(2,LE)). Total: None on malformed."""
+    if len(p) < 10 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", p[6:10])
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def parse_mp4_duration(p: bytes) -> int | None:
+    """duration_ms from the ISO BMFF moov/mvhd box (MP4 family): top-level
+    boxes are size(4,BE)+type(4); mvhd (inside moov) carries
+    version(1)+flags(3)+ctime+mtime+timescale(4,BE)+duration(4 or 8, BE
+    by version). Walks declared box sizes only — total, None on anything
+    malformed, no codec work."""
+    if len(p) < 8 or p[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, depth: int) -> int | None:
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack(">I", p[i:i + 4])[0]
+            btype = p[i + 4:i + 8]
+            if size < 8 or i + size > hi:
+                return None  # torn/lying box — bail, never scan garbage
+            if btype == b"moov" and depth == 0:
+                return walk(i + 8, i + size, 1)
+            if btype == b"mvhd" and depth == 1:
+                body = i + 8
+                if body + 4 > hi:
+                    return None
+                version = p[body]
+                if version == 0:
+                    # v0: ctime(4)+mtime(4)+timescale(4)+duration(4)
+                    if body + 20 > i + size:
+                        return None
+                    ts, dur = struct.unpack(">II", p[body + 12:body + 20])
+                else:
+                    # v1: ctime(8)+mtime(8)+timescale(4)+duration(8)
+                    if body + 32 > i + size:
+                        return None
+                    ts = struct.unpack(">I", p[body + 20:body + 24])[0]
+                    dur = struct.unpack(">Q", p[body + 24:body + 32])[0]
+                if ts <= 0:
+                    return None
+                return int(dur * 1000 // ts)
+            i += size
+        return None
+
+    return walk(0, len(p), 0)
+
+
 def parse_wav_meta(p: bytes) -> tuple[int, int, int] | None:
     """(sample_rate, channels, duration_ms) from RIFF/WAVE fmt + data
     chunks (all little-endian; duration = data bytes / byte_rate)."""
@@ -117,13 +174,17 @@ def parse_media_header(payload: bytes) -> dict:
     {width, height, sample_rate, duration_ms} with None where the format
     doesn't carry the field (or the header is unparseable)."""
     out = {"width": None, "height": None, "sample_rate": None, "duration_ms": None}
-    wh = parse_png_size(payload) or parse_jpeg_size(payload)
+    wh = parse_png_size(payload) or parse_jpeg_size(payload) or parse_gif_size(payload)
     if wh:
         out["width"], out["height"] = wh
         return out
     wav = parse_wav_meta(payload)
     if wav:
         out["sample_rate"], _, out["duration_ms"] = wav
+        return out
+    dur = parse_mp4_duration(payload)
+    if dur is not None:
+        out["duration_ms"] = dur
     return out
 
 

@@ -229,14 +229,16 @@ def _le(col, nbytes):
 
 def synthetic_media(docs) -> "DataFrame":
     """Deterministic REAL media containers from doc_id arithmetic, built
-    entirely JVM-side (binary literals + hex/unhex — no UDF): doc_id%3
+    entirely JVM-side (binary literals + hex/unhex — no UDF): doc_id%5
     picks PNG (24-byte sig+IHDR, planted width/height), JPEG (11-byte
-    SOI+SOF0, planted height/width) or WAV (44-byte RIFF fmt+data header,
-    planted rate/channels/data length). The payloads exercise the REAL
+    SOI+SOF0, planted height/width), WAV (44-byte RIFF fmt+data header,
+    planted rate/channels/data length), GIF (13-byte GIF89a logical screen
+    descriptor, planted LE width/height) or MP4 (52-byte ftyp + moov/mvhd
+    v0 with planted timescale+duration). The payloads exercise the REAL
     header parsers in operators/multimodal.py, and every planted value is
     recomputable from doc_id alone — which is what gives mm_meta an exact
     DuckDB oracle."""
-    m = F.pmod(F.col("doc_id"), F.lit(3))
+    m = F.pmod(F.col("doc_id"), F.lit(5))
     png_w = 1 + F.pmod(F.col("doc_id"), F.lit(640))
     png_h = 1 + F.pmod(F.col("doc_id"), F.lit(480))
     jpg_w = 1 + F.pmod(F.col("doc_id"), F.lit(1920))
@@ -245,6 +247,10 @@ def synthetic_media(docs) -> "DataFrame":
     rate = 8000 + F.pmod(F.col("doc_id"), F.lit(5)) * 4000
     byte_rate = rate * channels * 2
     dlen = 2 * (1 + F.pmod(F.col("doc_id"), F.lit(1000)))
+    gif_w = 1 + F.pmod(F.col("doc_id"), F.lit(320))
+    gif_h = 1 + F.pmod(F.col("doc_id"), F.lit(240))
+    mp4_ts = 600 + F.pmod(F.col("doc_id"), F.lit(3)) * 200
+    mp4_dur = 60 * (1 + F.pmod(F.col("doc_id"), F.lit(1000)))
 
     png = F.concat(
         F.lit(b"\x89PNG\r\n\x1a\n"), _be(F.lit(13), 4), F.lit(b"IHDR"),
@@ -260,12 +266,29 @@ def synthetic_media(docs) -> "DataFrame":
         _le(rate, 4), _le(byte_rate, 4), _le(channels * 2, 2),
         _le(F.lit(16), 2), F.lit(b"data"), _le(dlen, 4),
     )
+    gif = F.concat(
+        F.lit(b"GIF89a"), _le(gif_w, 2), _le(gif_h, 2),
+        F.lit(b"\x00\x00\x00"),  # packed/bg/aspect
+    )
+    # ftyp(16) + moov(36 = 8 header + mvhd box of 28 = 8 header +
+    # version/flags(4) + ctime(4) + mtime(4) + timescale(4) + duration(4))
+    mp4 = F.concat(
+        _be(F.lit(16), 4), F.lit(b"ftypisom"), _be(F.lit(0x200), 4),
+        _be(F.lit(36), 4), F.lit(b"moov"),
+        _be(F.lit(28), 4), F.lit(b"mvhd"),
+        _be(F.lit(0), 4),  # version 0 + flags
+        _be(F.lit(0), 4), _be(F.lit(0), 4),  # ctime, mtime
+        _be(mp4_ts, 4), _be(mp4_dur, 4),
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(m == 0, F.lit("image/png"))
         .when(m == 1, F.lit("image/jpeg"))
-        .otherwise(F.lit("audio/wav")).alias("kind"),
-        F.when(m == 0, png).when(m == 1, jpeg).otherwise(wav).alias("payload"),
+        .when(m == 2, F.lit("audio/wav"))
+        .when(m == 3, F.lit("image/gif"))
+        .otherwise(F.lit("video/mp4")).alias("kind"),
+        F.when(m == 0, png).when(m == 1, jpeg).when(m == 2, wav)
+        .when(m == 3, gif).otherwise(mp4).alias("payload"),
         F.create_map(F.lit("origin"), F.lit("synthetic")).alias("meta"),
     )
 
@@ -273,12 +296,13 @@ def synthetic_media(docs) -> "DataFrame":
 @query("mm_meta")
 def mm_meta(spark, sf_dir):
     """Multimodal METADATA with an exact cross-engine oracle (VERDICT r3
-    #5): real PNG/JPEG/WAV container bytes -> the REAL header parsers
-    inside extract_media_features' mapInPandas -> width/height/sample_rate/
-    duration_ms, hash-checked against DuckDB recomputing the planted values
-    arithmetically. Image rows NULL their audio fields and vice versa (the
-    operator backfills unparsed image fields from the stub decoder — that
-    seam stays rows-only in mm_features)."""
+    #5; GIF + MP4 added r5): real PNG/JPEG/WAV/GIF/MP4 container bytes ->
+    the REAL header parsers inside extract_media_features' mapInPandas ->
+    width/height/sample_rate/duration_ms, hash-checked against DuckDB
+    recomputing the planted values arithmetically. Image rows NULL their
+    audio/video fields and vice versa (the operator backfills unparsed
+    image fields from the stub decoder — that seam stays rows-only in
+    mm_features)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     feats = extract_media_features(synthetic_media(d), fake_decode=True)
     is_img = F.col("kind").startswith("image/")
@@ -292,22 +316,29 @@ def mm_meta(spark, sf_dir):
 ORACLES["mm_meta"] = """
 SELECT doc_id AS media_id,
        CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-              ELSE 'audio/wav' END AS kind,
-       CAST(CASE m WHEN 0 THEN 24 WHEN 1 THEN 11 ELSE 44 END AS BIGINT)
-         AS n_bytes,
+              WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'image/gif'
+              ELSE 'video/mp4' END AS kind,
+       CAST(CASE m WHEN 0 THEN 24 WHEN 1 THEN 11 WHEN 2 THEN 44
+                   WHEN 3 THEN 13 ELSE 52 END AS BIGINT) AS n_bytes,
        CASE m WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffc0'
-              ELSE '52494646' END AS magic,
+              WHEN 2 THEN '52494646' WHEN 3 THEN '47494638'
+              ELSE '00000010' END AS magic,
        CAST(CASE m WHEN 0 THEN 1 + doc_id % 640
-                   WHEN 1 THEN 1 + doc_id % 1920 END AS INTEGER) AS width,
+                   WHEN 1 THEN 1 + doc_id % 1920
+                   WHEN 3 THEN 1 + doc_id % 320 END AS INTEGER) AS width,
        CAST(CASE m WHEN 0 THEN 1 + doc_id % 480
-                   WHEN 1 THEN 1 + doc_id % 1080 END AS INTEGER) AS height,
+                   WHEN 1 THEN 1 + doc_id % 1080
+                   WHEN 3 THEN 1 + doc_id % 240 END AS INTEGER) AS height,
        CAST(CASE WHEN m = 2 THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER)
          AS sample_rate,
        CAST(CASE WHEN m = 2 THEN
               (2 * (1 + doc_id % 1000) * 1000)
                 // ((8000 + (doc_id % 5) * 4000) * (1 + doc_id % 2) * 2)
+            WHEN m = 4 THEN
+              (60 * (1 + doc_id % 1000) * 1000)
+                // (600 + (doc_id % 3) * 200)
             END AS INTEGER) AS duration_ms
-FROM (SELECT doc_id, doc_id % 3 AS m FROM documents) t
+FROM (SELECT doc_id, doc_id % 5 AS m FROM documents) t
 """
 
 

@@ -104,3 +104,54 @@ def test_media_features_carry_real_metadata(spark):
     assert got[4]["sample_rate"] is None and got[4]["duration_ms"] is None
     for r in got.values():
         assert len(r["feat"]) == 8  # stub features still flow
+
+
+def gif_bytes(w: int, h: int) -> bytes:
+    import struct as _s
+    return b"GIF89a" + _s.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def mp4_bytes(timescale: int, duration: int, version: int = 0) -> bytes:
+    import struct as _s
+    if version == 0:
+        mvhd = b"\x00\x00\x00\x00" + b"\x00" * 8 + _s.pack(">II", timescale, duration)
+    else:
+        mvhd = b"\x01\x00\x00\x00" + b"\x00" * 16 + _s.pack(">I", timescale) + _s.pack(">Q", duration)
+    mvhd_box = _s.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    moov = _s.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = _s.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_gif_and_mp4_headers():
+    """r5 formats: GIF logical-screen-descriptor dims (LE), MP4 moov/mvhd
+    duration (BE; v0 4-byte and v1 8-byte duration), sniffing at offset 4
+    for the ISO BMFF family, and total None on malformed/torn boxes."""
+    from nary_relation_extraction_decomposed_spark.operators.multimodal import (
+        parse_gif_size,
+        parse_mp4_duration,
+        parse_media_header,
+        sniff_kind,
+    )
+
+    assert parse_gif_size(gif_bytes(320, 240)) == (320, 240)
+    assert sniff_kind(gif_bytes(1, 1)) == "image/gif"
+    assert parse_gif_size(b"GIF89a\x00\x00\x01\x00\x00\x00\x00") is None  # w=0
+    assert parse_gif_size(b"GIF00a" + b"\x01\x00\x01\x00\x00") is None
+    assert parse_gif_size(b"GIF89a\x01") is None  # truncated
+
+    p = mp4_bytes(600, 1200)
+    assert sniff_kind(p) == "video/mp4"
+    assert parse_mp4_duration(p) == 2000
+    assert parse_mp4_duration(mp4_bytes(1000, 90001)) == 90001
+    # v1: 64-bit duration
+    assert parse_mp4_duration(mp4_bytes(1000, 5_000_000_000, version=1)) == 5_000_000_000
+    # torn box (declared size beyond payload) and zero timescale -> None
+    assert parse_mp4_duration(p[:-4]) is None
+    assert parse_mp4_duration(mp4_bytes(0, 100)) is None
+    assert parse_mp4_duration(b"\x00\x00\x00\x08ftyp") is None  # no moov
+
+    h = parse_media_header(gif_bytes(12, 34))
+    assert (h["width"], h["height"], h["duration_ms"]) == (12, 34, None)
+    h = parse_media_header(mp4_bytes(500, 250))
+    assert (h["width"], h["duration_ms"]) == (None, 500)
