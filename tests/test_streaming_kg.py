@@ -217,3 +217,53 @@ def test_streaming_filtered_recrawl_does_not_supersede(spark, fixture_dir, tmp_p
     }
     assert got == want and got
     pages.unpersist()
+
+
+def test_run_stream_entry_point_incremental(spark, fixture_dir, tmp_path):
+    """jobs/run_stream.py: spark-submit-shaped streaming entry. Drain a
+    pages dir, merge; drop MORE files in, rerun with the same checkpoint —
+    only the new files process (incremental-crawl loop) and the merged
+    triples equal the batch pipeline over the union corpus."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_stream
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    half = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(2))
+    src = str(tmp_path / "pages_in")
+    pages.filter(half == 0).coalesce(1).write.parquet(src, mode="overwrite")
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    argv = ["--pages", src, "--fixtures", fixture_dir,
+            "--output", out, "--checkpoint", ck,
+            "--shuffle-partitions", "8", "--merge"]
+    s1 = run_stream.main(argv)
+    assert s1["n_batches_total"] >= 1 and s1["n_triples"] > 0
+
+    # crawl grows: add the second half, rerun same checkpoint
+    pages.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+    s2 = run_stream.main(argv)
+    assert s2["n_batches_total"] > s1["n_batches_total"]
+    assert s2["n_urls_processed"] > s1["n_urls_processed"]
+
+    from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages, gaz, rules, PipelineConfig(canonicalize=False)
+        ).triples.collect()
+    }
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in spark.read.parquet(os.path.join(out, "triples")).collect()
+    }
+    assert got == want and got
