@@ -18,8 +18,12 @@ Behavior:
 - --merge materializes the current triple set from ALL deltas so far
   (latest batch per url, replay-safe distinct) to <output>/triples;
 - --canonicalize applies merge-time ER with ONE canonical map built over
-  the union mention surfaces (exact batch parity — per-batch maps would
-  break delta additivity, which stream_pages_to_triples rejects).
+  the union corpus' MENTION surfaces — read from the per-batch surfaces
+  sidecar, each url reduced to its latest processed batch — the exact
+  input the batch pipeline's ER sees (triples' subj/obj alone would both
+  include superseded-batch surfaces and miss mention-only cluster
+  minima / CC bridges). Per-batch maps would break delta additivity,
+  which stream_pages_to_triples rejects.
 
 Prints one JSON line with delta/merge counts (driver-parseable, same
 contract style as run_pipeline.py).
@@ -84,13 +88,24 @@ def main(argv: list[str] | None = None) -> dict:
         os.path.join(args.checkpoint, "stream"),
         url_level=True,
     )
+    from nary_relation_extraction_decomposed_spark.plans.checkpoint import HadoopFS
+
+    # a drain can yield ZERO batches (empty source dir, or nothing new on a
+    # rerun where every batch was empty) — the delta dir then never comes
+    # into existence and the entry must report that, not crash
+    if not HadoopFS(spark, deltas_path).exists(deltas_path):
+        stats = {"n_delta_rows": 0, "n_batches_total": 0,
+                 "n_urls_processed": 0, "wall_sec": round(time.time() - t0, 2)}
+        print(json.dumps(stats))
+        return stats
+
     deltas = spark.read.parquet(deltas_path)
-    n_batches = deltas.select("batch_id").distinct().count()
+    man = KS.read_urls_manifest(spark, deltas_path)
     stats = {
         "n_delta_rows": deltas.count(),
-        "n_batches_total": n_batches,
+        "n_batches_total": deltas.select("batch_id").distinct().count(),
         "n_urls_processed": (
-            KS.read_urls_manifest(spark, deltas_path).select("url").distinct().count()
+            man.select("url").distinct().count() if man is not None else 0
         ),
     }
 
@@ -100,13 +115,16 @@ def main(argv: list[str] | None = None) -> dict:
                 canonical_map,
             )
 
-            surfaces = deltas.selectExpr("subj AS surface_norm").union(
-                deltas.selectExpr("obj AS surface_norm")
-            ).distinct()
+            surfaces = KS.union_corpus_surfaces(spark, deltas_path)
+            if surfaces is None:
+                raise SystemExit(
+                    "--canonicalize needs the mention-surfaces sidecar "
+                    f"({KS.surfaces_sidecar_path(deltas_path)}); these deltas "
+                    "were written by an older writer — re-drain, or merge "
+                    "without --canonicalize"
+                )
             merged = KS.canonicalize_url_deltas(
-                deltas,
-                canonical_map(surfaces),
-                KS.read_urls_manifest(spark, deltas_path),
+                deltas, canonical_map(surfaces), man
             )
         else:
             merged = KS.merge_triple_deltas(spark, deltas_path)

@@ -112,28 +112,34 @@ def dedup_gazetteer_table(gazetteer: DataFrame) -> DataFrame:
     WHITESPACE-NORMALIZED surface — with empty and over-MAX_GAZ_TOKENS
     surfaces dropped.
 
-    Normalization first (trim + collapse runs of whitespace to one space)
-    mirrors the trie path's ``surface_norm.split()`` token key: a raw
-    dictionary surface with a double space or tab matches via the broadcast
-    trie (token-tuple key) but could never equal a single-space-joined
-    candidate n-gram in the join path — normalizing before the size filter,
-    dedup and join keeps the two paths convergent on non-normalized
-    dictionaries. (Java ``\\s`` is ASCII whitespace vs Python's Unicode
-    ``str.split()`` — the one documented seam, exotic-whitespace surfaces.)
+    Normalization first (split on whitespace runs, DROP empty edge tokens,
+    rejoin with single spaces) mirrors the trie path's
+    ``surface_norm.split()`` token key: a raw dictionary surface with a
+    double space, tab, or leading/trailing whitespace of ANY ``\\s`` kind
+    matches via the broadcast trie (token-tuple key) but could never equal
+    a single-space-joined candidate n-gram in the join path — normalizing
+    before the size filter, dedup and join keeps the two paths convergent
+    on non-normalized dictionaries. (F.trim strips only spaces, so the
+    empty-token filter — not trim — is what handles edge tabs; Java
+    ``\\s`` is ASCII whitespace vs Python's Unicode ``str.split()`` — the
+    one remaining documented seam, exotic-whitespace surfaces.)
 
     Tie rule parity: GazetteerIndex.build iterates ``sorted(rows)`` and the
     first claim on a collapsed token key wins — i.e. the minimum of
     (raw surface, ent_id, ent_type); ``min(struct(...))`` orders field-wise,
     exactly like sorted() on the tuple. For already-normalized dictionaries
     raw == normalized and this reduces to the old min(ent_id, ent_type)."""
-    norm = F.array_join(F.split(F.trim(F.col("surface_norm")), r"\s+"), " ")
+    toks = F.filter(
+        F.split(F.col("surface_norm"), r"\s+"), lambda t: t != ""
+    )
     g = gazetteer.select(
-        norm.alias("_norm"),
+        F.array_join(toks, " ").alias("_norm"),
+        F.size(toks).alias("_ntoks"),
         F.col("surface_norm").alias("_raw"),
         "ent_id",
         "ent_type",
     )
-    n_toks = F.size(F.split(F.col("_norm"), " "))
+    n_toks = F.col("_ntoks")
     return (
         g.filter((F.col("_norm") != "") & (n_toks <= MAX_GAZ_TOKENS))
         .groupBy("_norm")

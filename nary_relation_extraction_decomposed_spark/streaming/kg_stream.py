@@ -101,6 +101,18 @@ def stream_pages_to_triples(
                 .write.mode("append")
                 .parquet(urls_manifest_path(out_path))
             )
+            # mention-surfaces sidecar (url, surface_norm, batch_id):
+            # merge-time ER needs the canonical map built over the union
+            # corpus' MENTION surfaces — triples' subj/obj alone both
+            # include superseded-batch surfaces and miss mention-only
+            # surfaces (cluster minima / CC bridges), so an exact
+            # batch-parity map cannot be derived from the delta table
+            (
+                res.mentions.select("url", "surface_norm").distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(surfaces_sidecar_path(out_path))
+            )
         else:
             out = res.triples
         (
@@ -123,6 +135,41 @@ def urls_manifest_path(out_path: str) -> str:
     """Sidecar parquet dir holding (url, batch_id) per PROCESSED url per
     batch — written by stream_pages_to_triples(url_level=True)."""
     return out_path.rstrip("/") + "_urls"
+
+
+def surfaces_sidecar_path(out_path: str) -> str:
+    """Sidecar parquet dir holding (url, surface_norm, batch_id) mention
+    surfaces per batch — written by stream_pages_to_triples(url_level=True)
+    so merge-time ER can build its canonical map over the union corpus'
+    mention surfaces (latest batch per url), exactly as the batch pipeline
+    does."""
+    return out_path.rstrip("/") + "_surfaces"
+
+
+def read_surfaces_sidecar(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """The mention-surfaces sidecar, or None when absent (deltas produced
+    by an older writer)."""
+    from ..plans.checkpoint import HadoopFS
+
+    path = surfaces_sidecar_path(out_path)
+    if not HadoopFS(spark, path).exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def union_corpus_surfaces(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """Distinct mention surfaces of the CURRENT union corpus (each url
+    reduced to its latest processed batch) — the exact input the batch
+    pipeline's ER sees, for merge-time canonical_map. None when the
+    surfaces sidecar is absent."""
+    s = read_surfaces_sidecar(spark, out_path)
+    if s is None:
+        return None
+    return (
+        latest_batch_per_url(s, read_urls_manifest(spark, out_path))
+        .select("surface_norm")
+        .distinct()
+    )
 
 
 def latest_batch_per_url(

@@ -102,14 +102,18 @@ def test_join_path_normalizes_messy_dictionary_whitespace(spark):
             ("acme  corp", "E1", "ORG"),      # double space
             ("acme corp", "E2", "ORG"),       # normalized twin, larger raw
             ("bob\tsmith", "E3", "PER"),      # tab separator
-            ("  acme corp  ", "E9", "ORG"),   # leading/trailing whitespace
+            ("  acme corp  ", "E9", "ORG"),   # leading/trailing spaces
+            ("\tacme corp", "E4", "ORG"),     # leading TAB (trim-proof)
+            ("bob smith\t\n", "E5", "PER"),   # trailing tab+newline
         ],
         "surface_norm string, ent_id string, ent_type string",
     )
     want = _rows(M.detect_mentions(docs, gaz))
     got = _rows(M.detect_mentions_join(docs, gaz))
     assert got == want
-    # both paths found both entities, under the trie's tie rule:
-    # "  acme corp  " < "acme  corp" < "acme corp" as raw strings -> E9
+    # both paths found both entities, under the trie's tie rule: the
+    # minimum RAW string claims the collapsed key — "\tacme corp" (tab
+    # 0x09 < space 0x20) beats "  acme corp  " beats the rest -> E4;
+    # "bob\tsmith" < "bob smith\t\n" (same tab-beats-space rule) -> E3
     by_ent = {r[2] for r in want}
-    assert by_ent == {"E9", "E3"}
+    assert by_ent == {"E4", "E3"}

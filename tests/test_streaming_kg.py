@@ -267,3 +267,65 @@ def test_run_stream_entry_point_incremental(spark, fixture_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "triples")).collect()
     }
     assert got == want and got
+
+
+def test_run_stream_canonicalize_matches_batch_and_empty_source(
+    spark, fixture_dir, tmp_path
+):
+    """--merge --canonicalize must EXACTLY equal run_pipeline(union corpus,
+    canonicalize=True): the canonical map is built from the mention-
+    surfaces sidecar (latest batch per url), not from triples' subj/obj —
+    which both include superseded surfaces and miss mention-only cluster
+    members. Also: a drain of an EMPTY source reports zero stats instead
+    of crashing on the nonexistent delta dir."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_stream
+
+    # empty source: no batches, no crash
+    empty_src = str(tmp_path / "empty_in")
+    os.makedirs(empty_src)
+    s0 = run_stream.main(
+        ["--pages", empty_src, "--fixtures", fixture_dir,
+         "--output", str(tmp_path / "out0"),
+         "--checkpoint", str(tmp_path / "ck0"),
+         "--shuffle-partitions", "8", "--merge"]
+    )
+    assert s0 == {**s0, "n_delta_rows": 0, "n_batches_total": 0,
+                  "n_urls_processed": 0}
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    half = F.pmod(F.xxhash64("url", F.lit(7)), F.lit(2))
+    src = str(tmp_path / "pages_in")
+    pages.filter(half == 0).coalesce(1).write.parquet(src, mode="overwrite")
+    pages.filter(half == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    s = run_stream.main(
+        ["--pages", src, "--fixtures", fixture_dir, "--output", out,
+         "--checkpoint", str(tmp_path / "ck"),
+         "--shuffle-partitions", "8", "--merge", "--canonicalize"]
+    )
+    assert s["n_batches_total"] >= 2 and s["n_triples"] > 0
+
+    from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages, gaz, rules, PipelineConfig(canonicalize=True)
+        ).triples.collect()
+    }
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in spark.read.parquet(os.path.join(out, "triples")).collect()
+    }
+    assert got == want and got
