@@ -258,11 +258,19 @@ SELECT n_name, r_name FROM nation JOIN region ON n_name < r_name
 
 @query("agg_approx")
 def agg_approx(spark, sf_dir):
-    """approx_count_distinct (HLL sketches differ across engines -> no
-    oracle; driver records rows-only). Sanity-tested vs exact in pytest."""
+    """Approximate distinct counting, both faces (HLL state differs across
+    engines -> no oracle; driver records rows-only):
+    - approx_count_distinct: the one-shot HLL++ estimate;
+    - a MERGEABLE DataSketches HLL sketch (functions/sketches.py) with its
+      estimate — the store-per-batch / union-later incremental pattern a
+      10^12-row pipeline needs (associativity, parquet roundtrip and
+      accuracy pinned in tests/test_sketches.py)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders")
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias(
+            "sketch_orders"
+        ),
     )
 
 
