@@ -59,7 +59,17 @@ MAX_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 # stolen) against a 7.8 s clean capability — a long entry whose BEST draw
 # is still over the steal threshold keeps drawing up to this many attempts
 # (VERDICT r4 #5); clean-by-3 entries behave exactly as before
-MAX_ATTEMPTS_STEAL = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS_STEAL", "5"))
+# ADVICE r5: a user who LOWERS the base cap must get a lowered ceiling too —
+# the steal extension defaults to 5 only when the base cap itself is the
+# default; an explicitly-set SPARK_GRAFT_BENCH_ATTEMPTS pins both unless
+# SPARK_GRAFT_BENCH_ATTEMPTS_STEAL is also explicitly set.
+_STEAL_ENV = os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS_STEAL")
+if _STEAL_ENV is not None:
+    MAX_ATTEMPTS_STEAL = int(_STEAL_ENV)
+elif "SPARK_GRAFT_BENCH_ATTEMPTS" in os.environ:
+    MAX_ATTEMPTS_STEAL = MAX_ATTEMPTS
+else:
+    MAX_ATTEMPTS_STEAL = 5
 # entries longer than this always get a SECOND draw (min kept): this host's
 # effective CPU budget drifts ~25% across ~10-min windows WITHOUT showing
 # as steal (BENCH/BASELINE.md round 3), so steal alone can't defend a

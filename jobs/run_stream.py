@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> dict:
              "map over the union surfaces (exact batch parity)",
     )
     args = ap.parse_args(argv)
+    if args.canonicalize and not args.merge:
+        ap.error("--canonicalize requires --merge (merge-time ER runs on the "
+                 "merged triple set; without --merge nothing is canonicalized)")
 
     from nary_relation_extraction_decomposed_spark.session import (
         ENGINE_CONFS,

@@ -38,6 +38,7 @@ import hashlib
 import json
 import os
 import posixpath
+import sys
 import time
 from dataclasses import dataclass, field
 
@@ -180,6 +181,15 @@ class StageCheckpointer:
         # against stage timing (later stages provably unstarted). Unset in
         # production; the paused process never proceeds and is killed.
         if os.environ.get("NARY_KG_TEST_PAUSE_AFTER_STAGE") == stage:
+            # ADVICE r5: if this test-only var ever leaks into a real run the
+            # hang must be diagnosable — announce the park before entering it.
+            print(
+                f"NARY_KG_TEST_PAUSE_AFTER_STAGE={stage}: parking after "
+                "manifest commit (test determinism gate; unset the env var "
+                "for production runs)",
+                file=sys.stderr,
+                flush=True,
+            )
             while True:  # pragma: no cover - exited only by SIGKILL
                 time.sleep(0.1)
         return out, fp

@@ -141,7 +141,12 @@ def dedup_simhash(spark, sf_dir):
 # plain shift/mask arithmetic, verified identical in both engines
 # (arithmetic >> on negative BIGINT, bit_count, xor).
 
-_SIG_FIX_DIR = os.path.abspath(
+# ADVICE r5: when the package runs from a --py-files zip, __file__ points
+# INSIDE the zip and spark.read.parquet on a zip-internal path fails — let a
+# deployment set NARY_KG_FIXTURES_DIR to a real (shipped or dfs) copy of
+# tests/fixtures/data; the __file__-relative path stays the repo-checkout
+# fallback (the driver's oracle runs use it).
+_SIG_FIX_DIR = os.environ.get("NARY_KG_FIXTURES_DIR") or os.path.abspath(
     os.path.join(os.path.dirname(__file__), "..", "..", "tests", "fixtures", "data")
 )
 _MINHASH_FIX = os.path.join(_SIG_FIX_DIR, "minhash_sigs.parquet")
