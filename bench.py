@@ -93,6 +93,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
 
     from nary_relation_extraction_decomposed_spark.operators.graph import (
         doc_kg_combined,
+        doc_kg_pairs,
         evidence_from_combined,
     )
     from nary_relation_extraction_decomposed_spark.operators.textprep import (
@@ -101,6 +102,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         resolve_text,
     )
     from nary_relation_extraction_decomposed_spark.operators.triples import (
+        pairs_to_triples,
         rejoin_triples,
         subrels_from_evidence,
     )
@@ -143,20 +145,33 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         docs = dedup_latest_text(
             resolve_text(filter_pages(pages, "en")), num_partitions=width
         ).persist()
-    # FULLY-fused path (the run_pipeline default): detection + sentence
-    # analysis + graph BFS in ONE mapInPandas, ZERO shuffles docs->evidence
-    # (dedup left one row per url; equivalence vs the staged operators
-    # pinned in tests/test_graph_enrichment.py)
-    ev = evidence_from_combined(
-        doc_kg_combined(docs, _gaz_df(spark), PRED_WORDS, "PIV",
-                        [("ARGA", "a"), ("ARGB", "b")])
-    )
-    sr = subrels_from_evidence(ev)
-    rules = spark.createDataFrame(
-        [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
-        "subrel_a string, subrel_b string, pred_a string, pred_b string",
-    )
-    trips = rejoin_triples(sr, rules, canon_map=None)
+    rules_rows = [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS]
+    slots = [("ARGA", "a"), ("ARGB", "b")]
+    if os.environ.get("SPARK_GRAFT_KG_FUSION", "pairs") == "combined":
+        # r5-and-earlier shape, kept selectable for A/B: detection+BFS fused
+        # (doc_kg_combined) but decompose/rejoin staged — the subrel stream
+        # localCheckpoints (~1.1 GB write + re-read at 329k docs/16 cores,
+        # measured via tools/stage_bytes.py) and self-joins corpus-wide
+        ev = evidence_from_combined(
+            doc_kg_combined(docs, _gaz_df(spark), PRED_WORDS, "PIV", slots)
+        )
+        sr = subrels_from_evidence(ev)
+        rules = spark.createDataFrame(
+            rules_rows,
+            "subrel_a string, subrel_b string, pred_a string, pred_b string",
+        )
+        trips = rejoin_triples(sr, rules, canon_map=None)
+    else:
+        # round-6 default: the rejoin key (url, pivot_mid, pred) never
+        # leaves a document, so detection + BFS + decompose + rejoin all
+        # fuse into ONE mapInPandas (graph.doc_kg_pairs); the support
+        # aggregation is the pipeline's only corpus-level exchange.
+        # Equivalence pinned: test_pairs_fusion_equals_staged.
+        trips = pairs_to_triples(
+            doc_kg_pairs(docs, _gaz_df(spark), PRED_WORDS, "PIV", slots,
+                         rules_rows),
+            canon_map=None,
+        )
     n_triples = trips.count()
     n_docs = docs.count()  # cached — near-free after the run
     docs.unpersist()

@@ -346,6 +346,139 @@ def doc_kg_combined(
     return docs.select("url", "text").mapInPandas(batches, schema=COMBINED_SCHEMA)
 
 
+# url-level triple pairs: the input to _canonicalize_and_support (the
+# corpus-level canonical-label + support aggregation, the ONLY stage of the
+# whole pipeline whose key spans documents)
+PAIRS_SCHEMA = "url string, subj_norm string, pred string, obj_norm string"
+
+
+def doc_kg_pairs(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    pred_vocab: list[str],
+    pivot_type: str,
+    arg_slots: list[tuple[str, str]],
+    pred_rules,
+    max_path_len: int = MAX_PATH_LEN,
+    co_mention_edges: bool = True,
+    token_window: int | None = TOKEN_WINDOW,
+) -> DataFrame:
+    """Detection + sentence analysis + BFS evidence + decompose + REJOIN
+    fused into ONE mapInPandas over docs(url, text), emitting per-doc
+    DISTINCT (url, subj_norm, pred, obj_norm) pairs (PAIRS_SCHEMA).
+
+    Rationale (VERDICT r5 #1, measured with tools/stage_bytes.py at
+    local[16], 329k docs): the rejoin's key is (url, pivot_mid, pred) —
+    strictly WITHIN one document — yet the staged path materialized the
+    5.3M-row subrel stream to storage blocks (~1.1 GB localCheckpoint
+    write + 1.1 GB re-read for the two join sides) and streamed 26.8M
+    joined/exploded rows, all to feed an aggregation whose input is per-doc
+    computable. On this host's shared DRAM bus that round-trip IS the
+    16-core scaling ceiling. Fusing the per-doc rejoin removes every one of
+    those bytes: the only corpus-level traffic left is this function's
+    output (per-doc-distinct pairs, the same rows the staged path's
+    distinct_pairs sees) into the support aggregation's map-side partials.
+    At 1000 executors the same argument holds — the rejoin never needed a
+    shuffle, so no shuffle survives.
+
+    pred_rules: small rule relation (subrel_a, subrel_b, pred_a, pred_b) as
+    a DataFrame (collected here — it is broadcast-sized by the same
+    contract rejoin_triples relies on) or an iterable of 4-tuples.
+
+    Per-doc semantics are EXACTLY rejoin_triples over
+    subrels_from_evidence(evidence_from_combined(doc_kg_combined(...)))
+    with url_level=True: same candidate pairs (no a!=b constraint), both
+    triples of each rule match, per-url set dedup. Pinned equal in
+    tests/test_graph_enrichment.py::test_pairs_fusion_equals_staged.
+    Callers finish with triples.pairs_to_triples (canon map + support)."""
+    from .mentions import build_gazetteer_index
+    from .kernels import detect_mentions_in_text, sentence_predicates
+
+    if isinstance(pred_rules, DataFrame):
+        pred_rules = [
+            (r["subrel_a"], r["subrel_b"], r["pred_a"], r["pred_b"])
+            for r in pred_rules.collect()
+        ]
+    rules = {(a, b): (pa, pb) for a, b, pa, pb in pred_rules}
+
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(build_gazetteer_index(gazetteer))
+    vocab = frozenset(pred_vocab)
+
+    def batches(it):
+        gaz = bc.value
+        for pdf in it:
+            o_url, o_subj, o_pred, o_obj = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not isinstance(text, str) or not text:
+                    continue
+                ms = detect_mentions_in_text(text, gaz)
+                if not ms:
+                    continue
+                sents = sentence_predicates(text, vocab)
+                by_mid = {m["mention_id"]: m for m in ms}
+                preds_of_sent = {
+                    s["sent_id"]: (s["preds"], s["pred_toks"]) for s in sents
+                }
+                # subrels grouped by pivot (pred is a function of the pivot's
+                # sentence, so the (pivot_mid, pred) join key collapses to
+                # pivot_mid within a document)
+                a_side: dict[int, list] = {}
+                b_side: dict[int, list] = {}
+                pred_of_pivot: dict[int, str] = {}
+                for r in bfs_evidence(
+                    len(sents), ms, pivot_type, arg_slots, max_path_len,
+                    co_mention_edges, token_window,
+                    [s["n_tokens"] for s in sents],
+                ):
+                    pm = by_mid[r["pivot_mid"]]
+                    pv = r["pivot_mid"]
+                    if pv not in pred_of_pivot:
+                        sp = preds_of_sent.get(pm["sent_id"])
+                        pred_of_pivot[pv] = nearest_pred(
+                            sp[0], sp[1], pm["tok_begin"], pm["tok_end"]
+                        ) if sp is not None else None
+                    pred = pred_of_pivot[pv]
+                    if pred is None:
+                        continue
+                    # rejoin_triples consumes slots 'a' and 'b' literally;
+                    # other slot labels (n-ary >2 args use rejoin_nary) drop
+                    if r["slot"] == "a":
+                        side = a_side
+                    elif r["slot"] == "b":
+                        side = b_side
+                    else:
+                        continue
+                    side.setdefault(pv, []).append(
+                        (by_mid[r["other_mid"]]["surface_norm"],
+                         f"{pred}#{r['slot']}")
+                    )
+                seen: set[tuple[str, str, str]] = set()
+                for pv, a_rows in a_side.items():
+                    b_rows = b_side.get(pv)
+                    if not b_rows:
+                        continue
+                    pivot_norm = by_mid[pv]["surface_norm"]
+                    for a_norm, subrel_a in a_rows:
+                        for b_norm, subrel_b in b_rows:
+                            rule = rules.get((subrel_a, subrel_b))
+                            if rule is None:
+                                continue
+                            seen.add((pivot_norm, rule[0], a_norm))
+                            seen.add((pivot_norm, rule[1], b_norm))
+                for s, p, o in seen:
+                    o_url.append(url)
+                    o_subj.append(s)
+                    o_pred.append(p)
+                    o_obj.append(o)
+            yield pd.DataFrame({
+                "url": o_url, "subj_norm": o_subj,
+                "pred": o_pred, "obj_norm": o_obj,
+            })
+
+    return docs.select("url", "text").mapInPandas(batches, schema=PAIRS_SCHEMA)
+
+
 def mentions_from_combined(combined: DataFrame) -> DataFrame:
     import pyspark.sql.functions as F
 

@@ -300,6 +300,23 @@ def rejoin_triples_grouped(
     return _canonicalize_and_support(pairs, canon_map)
 
 
+def pairs_to_triples(
+    pairs: DataFrame,
+    canon_map: DataFrame | None = None,
+    url_level: bool = False,
+) -> DataFrame:
+    """Finish the FULLY-fused pipeline (graph.doc_kg_pairs): canonical
+    labels via broadcast map + skew-safe support counting. The fused UDF
+    already emitted per-doc-distinct pairs, so the corpus-level distinct
+    here only reconciles duplicates that canonicalization introduces (or
+    none) — map-side partial aggregation makes it one light shuffle, the
+    pipeline's ONLY one."""
+    pairs = pairs.select(
+        "url", "subj_norm", F.col("pred"), "obj_norm"
+    )
+    return _canonicalize_and_support(pairs, canon_map, url_level)
+
+
 def rejoin_triples(
     subrels: DataFrame,
     pred_rules: DataFrame,
