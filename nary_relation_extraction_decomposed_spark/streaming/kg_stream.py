@@ -18,6 +18,10 @@ batch_id; `merge_triple_deltas` dedups on (batch_id) replays at read time.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -120,6 +124,27 @@ def stream_pages_to_triples(
             .write.mode("append")
             .parquet(out_path)
         )
+        # Test-only determinism gate (VERDICT r5 #3), the streaming twin of
+        # plans/checkpoint.py's pause-after-stage: park AFTER this batch's
+        # delta/sidecar appends but BEFORE process() returns — i.e. before
+        # the streaming checkpoint commits the batch — so a SIGKILL here
+        # deterministically forces Spark to REPLAY this batch_id on
+        # restart (the at-least-once path merge_triple_deltas must absorb).
+        # Local-fs sentinel: test harnesses only. Unset in production.
+        if os.environ.get("NARY_KG_STREAM_TEST_PAUSE_BEFORE_COMMIT") == str(
+            batch_id
+        ):
+            print(
+                f"NARY_KG_STREAM_TEST_PAUSE_BEFORE_COMMIT={batch_id}: "
+                "parking after delta append, before checkpoint commit "
+                "(test gate; unset the env var for production runs)",
+                file=sys.stderr,
+                flush=True,
+            )
+            with open(out_path.rstrip("/") + "._paused", "w") as f:
+                f.write(str(batch_id))
+            while True:  # pragma: no cover - exited only by SIGKILL
+                time.sleep(0.1)
 
     q = (
         pages_stream.writeStream.foreachBatch(process)

@@ -219,6 +219,112 @@ def test_streaming_filtered_recrawl_does_not_supersede(spark, fixture_dir, tmp_p
     pages.unpersist()
 
 
+def test_streaming_kill_restart_exactly_once(spark, fixture_dir, tmp_path):
+    """Kill the STREAMING query mid-stream and restart it from its
+    checkpoint (VERDICT r5 #3). Deterministic via the pause-before-commit
+    gate in kg_stream.process: run 1 drains batch 0, then parks INSIDE
+    batch 1's process() — after its delta/sidecar appends, before the
+    streaming checkpoint commits — and is SIGKILLed there. Run 2 against
+    the same checkpoint must REPLAY batch 1 (same batch_id — the raw delta
+    table then contains the replay's duplicate appends, proving the
+    at-least-once path actually ran) and drain batch 2; the merged triples
+    must still equal the batch pipeline over the full union corpus, and no
+    url may span two batch_ids in the manifest beyond the replayed one."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    pages = pages.filter(F.xxhash64("url") % 8 == 0)
+    third = F.pmod(F.xxhash64("url", F.lit(13)), F.lit(3))
+    src = str(tmp_path / "pages_in")
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    for i in range(3):
+        pages.filter(third == i).coalesce(1).write.mode("append").parquet(src)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    deltas = os.path.join(out, "deltas")
+    sentinel = deltas.rstrip("/") + "._paused"
+
+    def launch(pause_batch=None, merge=False):
+        env = dict(os.environ)
+        if pause_batch is not None:
+            env["NARY_KG_STREAM_TEST_PAUSE_BEFORE_COMMIT"] = str(pause_batch)
+        argv = [sys.executable, os.path.join(repo, "jobs", "run_stream.py"),
+                "--pages", src, "--fixtures", fixture_dir,
+                "--output", out, "--checkpoint", ck,
+                "--shuffle-partitions", "8"]
+        if merge:
+            argv.append("--merge")
+        return subprocess.Popen(
+            argv, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, env=env,
+        )
+
+    # run 1: parks inside batch 1 (batch 0 committed, batch 2 unstarted)
+    proc = launch(pause_batch=1)
+    deadline = _time.time() + 300
+    try:
+        while _time.time() < deadline:
+            assert proc.poll() is None, (
+                "stream exited while parked at the test gate"
+            )
+            if os.path.exists(sentinel):
+                proc.send_signal(signal.SIGKILL)
+                break
+            _time.sleep(0.2)
+        else:
+            raise AssertionError("pause sentinel never appeared")
+        assert proc.wait(timeout=30) == -signal.SIGKILL
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    os.remove(sentinel)
+
+    mid = spark.read.parquet(deltas)
+    batch1_rows_mid = mid.filter(F.col("batch_id") == 1).count()
+    assert {r["batch_id"] for r in mid.select("batch_id").distinct().collect()
+            } == {0, 1}, "kill did not land between batch 0 and batch 2"
+    assert batch1_rows_mid > 0, "gate parked before batch 1's delta append"
+
+    # run 2: same checkpoint, no gate — must replay batch 1 + drain batch 2
+    proc2 = launch(merge=True)
+    stdout, _ = proc2.communicate(timeout=300)
+    assert proc2.returncode == 0, stdout[-2000:]
+
+    after = spark.read.parquet(deltas)
+    assert {r["batch_id"] for r in after.select("batch_id").distinct().collect()
+            } == {0, 1, 2}
+    # the replay appended batch 1's rows AGAIN under the SAME batch_id —
+    # exactly the duplication merge_triple_deltas' distinct must absorb
+    assert after.filter(F.col("batch_id") == 1).count() == 2 * batch1_rows_mid
+    assert after.count() > after.dropDuplicates(
+        ["subj", "pred", "obj", "url", "batch_id"]).count()
+
+    gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
+    rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
+    want = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in run_pipeline(
+            pages, gaz, rules, PipelineConfig(canonicalize=False)
+        ).triples.collect()
+    }
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in spark.read.parquet(os.path.join(out, "triples")).collect()
+    }
+    assert got == want and got
+
+    # merge_triple_deltas directly (what --merge wrote) agrees too
+    merged = {
+        (r["subj"], r["pred"], r["obj"], r["support"])
+        for r in KS.merge_triple_deltas(spark, deltas).collect()
+    }
+    assert merged == want
+
+
 def test_run_stream_entry_point_incremental(spark, fixture_dir, tmp_path):
     """jobs/run_stream.py: spark-submit-shaped streaming entry. Drain a
     pages dir, merge; drop MORE files in, rerun with the same checkpoint —
