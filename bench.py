@@ -80,17 +80,57 @@ else:
 LONG_ENTRY_MIN2_SEC = float(os.environ.get("SPARK_GRAFT_LONG_ENTRY_SEC", "5"))
 
 
+def _kg_width(spark) -> int:
+    # partitions per core > 1 evens out straggler tails in the Python
+    # stages (at exactly 1 task/core one slow task idles every other core).
+    # MEASURED round 3 at 16 cores / 329k docs: MULT=1 41.5-56.7 s,
+    # MULT=2 38.9 s, MULT=3 38.0 s; at 4 cores MULT=2 is neutral and
+    # MULT=3 is 16% WORSE (task overhead) -> default 2.
+    return spark.sparkContext.defaultParallelism * int(
+        os.environ.get("SPARK_GRAFT_WIDTH_MULT", "2")
+    )
+
+
+def _kg_replicated_pages(spark, sf_dir: str, width: int):
+    """Pages derived from the documents table, replicated REPLICATE x with
+    distinct urls so throughput is measured on a corpus, not on fixed
+    per-stage overhead."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.sources.tables import (
+        pages_from_documents,
+    )
+
+    pages = pages_from_documents(spark, sf_dir, num_partitions=width)
+    if REPLICATE > 1:
+        pages = pages.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("_copy")
+        ).select(
+            F.concat_ws("/", "url", "_copy").alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    return pages
+
+
 def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
-    """Full KG pipeline over pages derived from the documents table
-    (replicated REPLICATE x with distinct urls so throughput is measured on
-    a corpus, not on fixed per-stage overhead), using a closed-vocabulary
-    gazetteer so mention/evidence stages do real work.
+    """Full KG pipeline over the replicated documents-derived corpus, using
+    the closed-vocabulary bench gazetteer so mention/evidence stages do real
+    work. Returns (n_docs, n_triples)."""
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import _gaz_df
+
+    width = _kg_width(spark)
+    pages = _kg_replicated_pages(spark, sf_dir, width)
+    return _run_kg(spark, pages, _gaz_df(spark), width)
+
+
+def _run_kg(spark, pages, gaz_df, width: int) -> tuple[int, int]:
+    """The shared pipeline body of bench_kg_pipeline / bench_kg_rich:
+    lang filter -> text resolve -> latest-per-url dedup -> fused
+    detection/BFS/decompose/rejoin -> support aggregation.
 
     DAG-reuse points are persist()ed so the measured wall is one pass over
     the data, not recomputation (the production pipeline materializes the
-    same points via checkpoint parquet). Returns (n_docs, n_triples)."""
-    import pyspark.sql.functions as F
-
+    same points via checkpoint parquet)."""
     from nary_relation_extraction_decomposed_spark.operators.graph import (
         doc_kg_combined,
         doc_kg_pairs,
@@ -106,30 +146,8 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         rejoin_triples,
         subrels_from_evidence,
     )
-    from nary_relation_extraction_decomposed_spark.plans.q_kg import (
-        PRED_WORDS,
-        _gaz_df,
-    )
-    from nary_relation_extraction_decomposed_spark.sources.tables import (
-        pages_from_documents,
-    )
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import PRED_WORDS
 
-    # partitions per core > 1 evens out straggler tails in the Python
-    # stages (at exactly 1 task/core one slow task idles every other core).
-    # MEASURED round 3 at 16 cores / 329k docs: MULT=1 41.5-56.7 s,
-    # MULT=2 38.9 s, MULT=3 38.0 s; at 4 cores MULT=2 is neutral and
-    # MULT=3 is 16% WORSE (task overhead) -> default 2.
-    width = spark.sparkContext.defaultParallelism * int(
-        os.environ.get("SPARK_GRAFT_WIDTH_MULT", "2")
-    )
-    pages = pages_from_documents(spark, sf_dir, num_partitions=width)
-    if REPLICATE > 1:
-        pages = pages.select(
-            "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICATE - 1))).alias("_copy")
-        ).select(
-            F.concat_ws("/", "url", "_copy").alias("url"),
-            "warc_ts", "html", "text", "lang",
-        )
     # persist() (not localCheckpoint) at DAG-reuse points: avoids paying a
     # hard materialization barrier per stage while still preventing
     # recomputation of the Python stages that feed multiple joins
@@ -153,7 +171,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         # localCheckpoints (~1.1 GB write + re-read at 329k docs/16 cores,
         # measured via tools/stage_bytes.py) and self-joins corpus-wide
         ev = evidence_from_combined(
-            doc_kg_combined(docs, _gaz_df(spark), PRED_WORDS, "PIV", slots)
+            doc_kg_combined(docs, gaz_df, PRED_WORDS, "PIV", slots)
         )
         sr = subrels_from_evidence(ev)
         rules = spark.createDataFrame(
@@ -168,7 +186,7 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
         # aggregation is the pipeline's only corpus-level exchange.
         # Equivalence pinned: test_pairs_fusion_equals_staged.
         trips = pairs_to_triples(
-            doc_kg_pairs(docs, _gaz_df(spark), PRED_WORDS, "PIV", slots,
+            doc_kg_pairs(docs, gaz_df, PRED_WORDS, "PIV", slots,
                          rules_rows),
             canon_map=None,
         )
@@ -176,6 +194,73 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
     n_docs = docs.count()  # cached — near-free after the run
     docs.unpersist()
     return n_docs, n_triples
+
+
+# kg_rich corpus knobs (VERDICT r5 #6): RICH_ENTS parametric entities per
+# arg slot (gazetteer = 1 pivot + 2*RICH_ENTS surfaces), planted into every
+# RICH_FRAC_DEN-th page. Expected distinct triples ~= 2 slots x RICH_ENTS x
+# |PRED_WORDS| = 1,024 at the defaults — O(10^3) as the directive asks.
+RICH_ENTS = int(os.environ.get("SPARK_GRAFT_RICH_ENTS", "256"))
+RICH_FRAC_DEN = int(os.environ.get("SPARK_GRAFT_RICH_FRAC_DEN", "4"))
+
+
+def bench_kg_rich(spark, sf_dir: str) -> tuple[int, int]:
+    """kg_pipeline over an ENTITY-BEARING corpus (VERDICT r5 #6: the
+    documents-derived pages contain almost no gazetteer entities, so the
+    flagship docs/s measured detection over entity-free text while
+    decompose/rejoin ran near-empty — kg_triples was 8).
+
+    Every RICH_FRAC_DEN-th page (by url hash; default 25%) gets ONE planted
+    evidence sentence appended as an extra <p> block, built entirely
+    JVM-side (codegen concat over xxhash64-derived entity indexes — no
+    Python in corpus construction): 'spark arga<K> <pred> argb<M>' with K,
+    M, pred drawn from independent xxhash64 seeds. The gazetteer is the
+    parametric 1 + 2*RICH_ENTS surface set. The planted sentence exercises
+    the FULL path: mention detection (3 matches), sentence analysis (pred
+    attach), BFS evidence, decompose into both arg slots, per-doc rejoin,
+    and a support aggregation whose key space is O(10^3) distinct triples
+    instead of 8. The other 75% of pages stay entity-free, keeping the
+    skip-fast-path share realistic for web text.
+
+    Same pipeline body as bench_kg_pipeline (_run_kg); reported separately
+    so the headline entry keeps round-to-round continuity."""
+    import pyspark.sql.functions as F
+
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import PRED_WORDS
+
+    width = _kg_width(spark)
+    pages = _kg_replicated_pages(spark, sf_dir, width)
+    k = F.pmod(F.xxhash64(F.col("url"), F.lit(1)), F.lit(RICH_ENTS))
+    m = F.pmod(F.xxhash64(F.col("url"), F.lit(2)), F.lit(RICH_ENTS))
+    pred = F.element_at(
+        F.array(*[F.lit(p) for p in PRED_WORDS]),
+        (F.pmod(F.xxhash64(F.col("url"), F.lit(3)), F.lit(len(PRED_WORDS)))
+         + 1).cast("int"),
+    )
+    planted = F.concat(
+        F.lit("<p>spark arga"), k.cast("string"),
+        F.lit(" "), pred,
+        F.lit(" argb"), m.cast("string"), F.lit("</p>"),
+    )
+    # tags are stripped position-independently by the frozen extractor and
+    # each block tag opens a new line (= sentence), so appending after
+    # </html> yields exactly one extra planted sentence per chosen page
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(RICH_FRAC_DEN)) == 0,
+            F.concat(F.col("html"), F.encode(planted, "UTF-8")),
+        ).otherwise(F.col("html")),
+    )
+    gaz_rows = (
+        [("spark", "E_PIV", "PIV")]
+        + [(f"arga{i}", f"E_A{i}", "ARGA") for i in range(RICH_ENTS)]
+        + [(f"argb{i}", f"E_B{i}", "ARGB") for i in range(RICH_ENTS)]
+    )
+    gaz = spark.createDataFrame(
+        gaz_rows, "surface_norm string, ent_id string, ent_type string"
+    )
+    return _run_kg(spark, pages, gaz, width)
 
 
 HEAVY_REPL = int(os.environ.get("SPARK_GRAFT_HEAVY_REPL", "10"))
@@ -476,6 +561,11 @@ def main() -> None:
         hd, ht = timed("kg_heavy", lambda: bench_kg_heavy(spark, SF_DIR))
         extras["kg_heavy_docs"] = hd
         extras["kg_heavy_docs_per_sec"] = round(hd / timings["kg_heavy"], 2)
+
+        rd, rt = timed("kg_rich", lambda: bench_kg_rich(spark, SF_DIR))
+        extras["kg_rich_docs"] = rd
+        extras["kg_rich_triples"] = rt
+        extras["kg_rich_docs_per_sec"] = round(rd / timings["kg_rich"], 2)
 
         extras["er_surfaces"] = timed(
             "er_canon", lambda: bench_er_canon(spark, SF_DIR)
