@@ -47,6 +47,9 @@ def main() -> None:
     ap.add_argument("--label",
                     default="round 6 sample C 4to16 2.64M docs "
                             "preregistered ceiling-triggered redraw")
+    ap.add_argument("--repl-large", default="1280",
+                    help="SCALING_REPL_LARGE for the triggered draw "
+                         "(1280 = 2.64M docs, 2560 = 5.27M)")
     args = ap.parse_args()
 
     deadline = time.time() + args.max_hours * 3600
@@ -63,7 +66,7 @@ def main() -> None:
         if fired:
             env = dict(
                 os.environ,
-                SCALING_REPL_LARGE="1280",
+                SCALING_REPL_LARGE=args.repl_large,
                 SCALING_REPL_SMALL="160",
                 SCALING_LABEL=args.label,
             )
