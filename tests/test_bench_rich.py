@@ -11,8 +11,11 @@ collide with the synthetic arga*/argb* surfaces).
 
 from __future__ import annotations
 
+import os
+
 import bench
-from tests.conftest import SF_SMALL
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
 
 
 def test_kg_rich_deterministic_and_bounded(spark, monkeypatch):
