@@ -124,75 +124,49 @@ def bench_kg_pipeline(spark, sf_dir: str) -> tuple[int, int]:
 
 
 def _run_kg(spark, pages, gaz_df, width: int) -> tuple[int, int]:
-    """The shared pipeline body of bench_kg_pipeline / bench_kg_rich:
-    lang filter -> text resolve -> latest-per-url dedup -> fused
-    detection/BFS/decompose/rejoin -> support aggregation.
+    """The shared pipeline body of bench_kg_pipeline / bench_kg_rich —
+    since round 6 this IS the production entry point (plans.pipeline
+    .run_pipeline), so the measured path and the shipped path are the same
+    code by construction (review r6: the bench previously hand-assembled
+    an equivalent chain, leaving 'production never executes the advertised
+    operators' as a paper gap).
 
-    DAG-reuse points are persist()ed so the measured wall is one pass over
-    the data, not recomputation (the production pipeline materializes the
-    same points via checkpoint parquet)."""
-    from nary_relation_extraction_decomposed_spark.operators.graph import (
-        doc_kg_combined,
-        doc_kg_pairs,
-        evidence_from_combined,
-    )
-    from nary_relation_extraction_decomposed_spark.operators.textprep import (
-        dedup_latest_text,
-        filter_pages,
-        resolve_text,
-    )
-    from nary_relation_extraction_decomposed_spark.operators.triples import (
-        pairs_to_triples,
-        rejoin_triples,
-        subrels_from_evidence,
+    SPARK_GRAFT_KG_FUSION=pairs (default) -> fused_rejoin=True, the
+    round-6 triples-only fast lane (ONE doc mapInPandas, support agg is
+    the only corpus exchange); =combined -> the r5 staged decompose/rejoin,
+    kept selectable for A/B. SPARK_GRAFT_KG_DEDUP=skip is the diagnostic
+    that isolates the latest-per-url text shuffle (never the headline).
+    Canonicalization is off: the bench gazetteer's closed vocabulary has
+    nothing to canonicalize (er_canon measures that stage)."""
+    from nary_relation_extraction_decomposed_spark.plans.pipeline import (
+        PipelineConfig,
+        run_pipeline,
     )
     from nary_relation_extraction_decomposed_spark.plans.q_kg import PRED_WORDS
 
-    # persist() (not localCheckpoint) at DAG-reuse points: avoids paying a
-    # hard materialization barrier per stage while still preventing
-    # recomputation of the Python stages that feed multiple joins
-    if os.environ.get("SPARK_GRAFT_KG_DEDUP", "latest") == "skip":
-        # DIAGNOSTIC ONLY (never the committed headline): the replicated
-        # bench corpus is one-row-per-url by construction, so skipping the
-        # latest-per-url dedup (the pipeline's only full-text shuffle —
-        # run_pipeline's dedup_mode='auto' skips it the same way after an
-        # exact probe) isolates that shuffle's share of the wall on the
-        # bandwidth-bound 16-core profile (BENCH/BASELINE.md round 4)
-        docs = resolve_text(filter_pages(pages, "en")).persist()
-    else:
-        docs = dedup_latest_text(
-            resolve_text(filter_pages(pages, "en")), num_partitions=width
-        ).persist()
-    rules_rows = [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS]
-    slots = [("ARGA", "a"), ("ARGB", "b")]
-    if os.environ.get("SPARK_GRAFT_KG_FUSION", "pairs") == "combined":
-        # r5-and-earlier shape, kept selectable for A/B: detection+BFS fused
-        # (doc_kg_combined) but decompose/rejoin staged — the subrel stream
-        # localCheckpoints (~1.1 GB write + re-read at 329k docs/16 cores,
-        # measured via tools/stage_bytes.py) and self-joins corpus-wide
-        ev = evidence_from_combined(
-            doc_kg_combined(docs, gaz_df, PRED_WORDS, "PIV", slots)
-        )
-        sr = subrels_from_evidence(ev)
-        rules = spark.createDataFrame(
-            rules_rows,
-            "subrel_a string, subrel_b string, pred_a string, pred_b string",
-        )
-        trips = rejoin_triples(sr, rules, canon_map=None)
-    else:
-        # round-6 default: the rejoin key (url, pivot_mid, pred) never
-        # leaves a document, so detection + BFS + decompose + rejoin all
-        # fuse into ONE mapInPandas (graph.doc_kg_pairs); the support
-        # aggregation is the pipeline's only corpus-level exchange.
-        # Equivalence pinned: test_pairs_fusion_equals_staged.
-        trips = pairs_to_triples(
-            doc_kg_pairs(docs, gaz_df, PRED_WORDS, "PIV", slots,
-                         rules_rows),
-            canon_map=None,
-        )
-    n_triples = trips.count()
-    n_docs = docs.count()  # cached — near-free after the run
-    docs.unpersist()
+    rules = spark.createDataFrame(
+        [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in PRED_WORDS],
+        "subrel_a string, subrel_b string, pred_a string, pred_b string",
+    )
+    cfg = PipelineConfig(
+        pivot_type="PIV",
+        arg_slots=(("ARGA", "a"), ("ARGB", "b")),
+        pred_vocab=tuple(PRED_WORDS),
+        canonicalize=False,
+        dedup_mode=(
+            "skip"
+            if os.environ.get("SPARK_GRAFT_KG_DEDUP", "latest") == "skip"
+            else "latest"
+        ),
+        python_parallelism=width,
+        fused_rejoin=(
+            os.environ.get("SPARK_GRAFT_KG_FUSION", "pairs") != "combined"
+        ),
+    )
+    res = run_pipeline(pages, gaz_df, rules, cfg)
+    n_triples = res.triples.count()
+    n_docs = res.docs.count()  # cached — near-free after the run
+    res.docs.unpersist()
     return n_docs, n_triples
 
 

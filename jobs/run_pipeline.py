@@ -52,6 +52,16 @@ def main() -> None:
              "instead of the fused single-crossing tagged stream",
     )
     ap.add_argument(
+        "--fused-rejoin", action="store_true",
+        help="triples-only fast lane (round 6): fuse decompose+rejoin into "
+             "the doc pass (graph.doc_kg_pairs) — the 2.35x/13.2x-bytes "
+             "shape the bench headline measures. Off by default here "
+             "because this runner materializes stage artifacts (and "
+             "canonicalizes by default), which would add a second "
+             "detection pass; incompatible with --checkpoint (the "
+             "checkpointed runner's manifests are stage-granular)",
+    )
+    ap.add_argument(
         "--prev-triples", default=None,
         help="previous snapshot (parquet): write only triples whose "
              "(subj, pred, obj) is new vs it (left-anti incremental run)",
@@ -96,7 +106,14 @@ def main() -> None:
                   else TOKEN_WINDOW)
         ),
         fused=not args.no_fused,
+        fused_rejoin=args.fused_rejoin,
     )
+    if args.fused_rejoin and args.checkpoint:
+        ap.error("--fused-rejoin is incompatible with --checkpoint "
+                 "(stage-granular manifests need the staged rejoin)")
+    if args.fused_rejoin and args.no_fused:
+        ap.error("--fused-rejoin requires the fused doc pass "
+                 "(drop --no-fused)")
 
     t0 = time.time()
     if args.checkpoint:

@@ -399,7 +399,13 @@ def doc_kg_pairs(
             (r["subrel_a"], r["subrel_b"], r["pred_a"], r["pred_b"])
             for r in pred_rules.collect()
         ]
-    rules = {(a, b): (pa, pb) for a, b, pa, pb in pred_rules}
+    # list per key, NOT a single value: the staged rejoin_triples joins the
+    # rule table, so two rule rows sharing (subrel_a, subrel_b) both emit —
+    # the fused path must do the same (review r6: a dict collapsed to the
+    # last rule and silently dropped the others' triples)
+    rules: dict[tuple, list] = {}
+    for a, b, pa, pb in pred_rules:
+        rules.setdefault((a, b), []).append((pa, pb))
 
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(build_gazetteer_index(gazetteer))
@@ -461,11 +467,11 @@ def doc_kg_pairs(
                     pivot_norm = by_mid[pv]["surface_norm"]
                     for a_norm, subrel_a in a_rows:
                         for b_norm, subrel_b in b_rows:
-                            rule = rules.get((subrel_a, subrel_b))
-                            if rule is None:
-                                continue
-                            seen.add((pivot_norm, rule[0], a_norm))
-                            seen.add((pivot_norm, rule[1], b_norm))
+                            for pred_a, pred_b in rules.get(
+                                (subrel_a, subrel_b), ()
+                            ):
+                                seen.add((pivot_norm, pred_a, a_norm))
+                                seen.add((pivot_norm, pred_b, b_norm))
                 for s, p, o in seen:
                     o_url.append(url)
                     o_subj.append(s)

@@ -73,6 +73,21 @@ class PipelineConfig:
     # The checkpointed runner keeps unfused stages (per-stage manifests
     # need stage-granular artifacts).
     fused: bool = True
+    # round 6: ALSO fuse decompose + rejoin + per-doc triple dedup into the
+    # doc mapInPandas (graph.doc_kg_pairs) — the rejoin key
+    # (url, pivot_mid, pred) never leaves a document, so the staged path's
+    # subrel materialization (localCheckpoint write + two re-reads) and
+    # corpus-wide self-join are pure overhead when only `triples` is
+    # consumed; the support aggregation becomes the pipeline's ONLY
+    # corpus-level exchange (measured 13.2x JVM bytes/doc, 2.35x wall —
+    # BENCH/BASELINE.md round 6). Trade-off: the triples frame no longer
+    # derives from the combined stream, so a caller that ALSO materializes
+    # mentions/evidence (the checkpointed runner, the streaming job with
+    # its surfaces sidecar) or canonicalizes (the canon map reads corpus
+    # mention surfaces) pays a second detection pass — those callers keep
+    # this False. Binary (subrel_a, subrel_b) rule tables only; the
+    # generalized n-ary rule schema always takes the staged rejoin_nary.
+    fused_rejoin: bool = False
     # latest-per-url dedup mode — the pipeline's ONLY corpus-wide
     # full-text shuffle:
     #   'latest' (default): always dedup (a crawl always has re-crawls);
@@ -238,7 +253,26 @@ def run_pipeline(
     subrels = T.subrels_from_evidence(ev)
 
     canon = er.canonical_map(ments.select("surface_norm")) if config.canonicalize else None
-    trips = _rejoin(subrels, pred_rules, canon, config)
+    binary_rules = {"subrel_a", "subrel_b", "pred_a", "pred_b"} <= set(
+        pred_rules.columns
+    )
+    if config.fused and config.fused_rejoin and binary_rules:
+        # triples-only fast lane (see fused_rejoin docstring): ONE doc
+        # mapInPandas emits per-doc-distinct pairs; the support agg is the
+        # only corpus exchange. Equivalence to the staged chain is pinned
+        # (test_pairs_fusion_equals_staged, test_fused_pipeline_equals_unfused).
+        trips = T.pairs_to_triples(
+            graph.doc_kg_pairs(
+                docs, gazetteer, list(config.pred_vocab),
+                config.pivot_type, list(config.arg_slots), pred_rules,
+                config.max_path_len,
+                co_mention_edges=config.co_mention_edges,
+                token_window=config.token_window,
+            ),
+            canon,
+        )
+    else:
+        trips = _rejoin(subrels, pred_rules, canon, config)
 
     return PipelineResult(
         docs=docs,

@@ -24,7 +24,9 @@ def test_kg_rich_deterministic_and_bounded(spark, monkeypatch):
     n_docs_2, n_trip_2 = bench.bench_kg_rich(spark, SF_SMALL)
     assert (n_docs_1, n_trip_1) == (n_docs_2, n_trip_2)
     assert n_docs_1 > 0
-    cap = 2 * bench.RICH_ENTS * 2  # two slots x ents x |PRED_WORDS|
+    from nary_relation_extraction_decomposed_spark.plans.q_kg import PRED_WORDS
+
+    cap = 2 * bench.RICH_ENTS * len(PRED_WORDS)  # two slots x ents x preds
     assert 0 < n_trip_1 <= cap
 
 

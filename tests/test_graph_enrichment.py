@@ -242,6 +242,21 @@ def test_pairs_fusion_equals_staged(spark, fixture_dir):
     got = {tuple(r) for r in pairs_to_triples(pairs).collect()}
     assert got == want and want
 
+    # duplicate-key rule rows: two rules sharing (subrel_a, subrel_b) must
+    # BOTH emit, exactly as the staged path's rule-table join does (review
+    # r6: the fused path's dict collapsed to the last rule)
+    extra = rules.limit(1).select(
+        "subrel_a", "subrel_b",
+        F.concat(F.col("pred_a"), F.lit("_alt")).alias("pred_a"),
+        F.concat(F.col("pred_b"), F.lit("_alt")).alias("pred_b"),
+    )
+    rules_dup = rules.unionByName(extra)
+    pairs_dup = doc_kg_pairs(docs, gaz, vocab, "DRUG", slots, rules_dup)
+    want_dup = {tuple(r)
+                for r in rejoin_triples(staged_sr, rules_dup).collect()}
+    got_dup = {tuple(r) for r in pairs_to_triples(pairs_dup).collect()}
+    assert got_dup == want_dup and len(want_dup) > len(want)
+
 
 def test_fused_pipeline_equals_unfused(spark, fixture_dir):
     """run_pipeline's fused default == the unfused pipeline end to end
@@ -251,12 +266,21 @@ def test_fused_pipeline_equals_unfused(spark, fixture_dir):
     gaz = spark.read.parquet(os.path.join(fixture_dir, "gazetteer.parquet"))
     rules = spark.read.parquet(os.path.join(fixture_dir, "pred_rules.parquet"))
 
-    def triples(fused):
-        cfg = PipelineConfig(canonicalize=False, fused=fused)
+    def triples(**cfg_kw):
+        cfg_kw.setdefault("canonicalize", False)
+        cfg = PipelineConfig(**cfg_kw)
         df = run_pipeline(pages, gaz, rules, cfg).triples
         return {tuple(r) for r in df.select("subj", "pred", "obj", "support").collect()}
 
-    assert triples(True) == triples(False)
+    want = triples(fused=True)
+    assert want == triples(fused=False)
+    # round 6: the production fused_rejoin lane (doc_kg_pairs inside
+    # run_pipeline — the configuration the bench headline measures) must
+    # produce the identical triples, with and without merge-time ER
+    assert want == triples(fused=True, fused_rejoin=True)
+    assert triples(fused=True, canonicalize=True) == triples(
+        fused=True, fused_rejoin=True, canonicalize=True
+    )
 
 
 def test_dedup_mode_auto_and_skip(spark, fixture_dir):

@@ -43,20 +43,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def probe() -> dict:
-    out = subprocess.run(
-        [sys.executable,
-         os.path.join(os.path.dirname(__file__), "bandwidth_probe.py")],
-        capture_output=True, text=True, timeout=600,
-    ).stdout
-    res = {}
-    for line in out.splitlines():
-        if line.startswith("procs="):
-            procs = int(line.split("=")[1].split()[0])
-            res[f"gbps_{procs}p"] = float(line.split("~")[1].split()[0])
-        elif "efficiency" in line:
-            res["bw_eff_4to16"] = float(line.rsplit(":", 1)[1])
-    return res
+# ONE parser for bandwidth_probe.py output across the A/B tools — a format
+# change must not desync two copies (review r6)
+from tools.er_canon_ab import probe  # noqa: E402
 
 
 def _parse_env(kvs: list[str]) -> dict:
@@ -88,6 +77,21 @@ def main() -> None:
     if fn is None:
         raise SystemExit(f"no bench.bench_{args.entry}; see bench.py")
     env_a, env_b = _parse_env(args.env_a), _parse_env(args.env_b)
+    # bench reads these at MODULE IMPORT — switching them per draw is a
+    # silent no-op that would emit a bogus ~0-delta variant_pair record
+    # (review r6); set them in the harness's OWN environment instead
+    _import_time = {
+        "SPARK_GRAFT_BENCH_REPL", "SPARK_GRAFT_HEAVY_REPL",
+        "SPARK_GRAFT_RICH_ENTS", "SPARK_GRAFT_RICH_FRAC_DEN",
+        "SPARK_GRAFT_BENCH_ATTEMPTS", "SPARK_GRAFT_BENCH_ATTEMPTS_STEAL",
+        "SPARK_GRAFT_STEAL_RETRY_PCT", "SPARK_GRAFT_LONG_ENTRY_SEC",
+    }
+    frozen = _import_time & (set(env_a) | set(env_b))
+    if frozen:
+        raise SystemExit(
+            f"env vars {sorted(frozen)} are read at bench import time and "
+            "cannot vary per draw; export them before launching the harness"
+        )
     noise_pin = not env_a and not env_b
 
     bw_before = {} if args.skip_probe else probe()

@@ -43,9 +43,12 @@ UI_PORT = int(os.environ.get("STAGE_UI_PORT", "4050"))
 _MB = 1024 * 1024
 
 
+_UI_BASE = f"http://127.0.0.1:{UI_PORT}"
+
+
 def _get(path: str):
     with urllib.request.urlopen(
-        f"http://127.0.0.1:{UI_PORT}/api/v1/{path}", timeout=30
+        f"{_UI_BASE}/api/v1/{path}", timeout=30
     ) as r:
         return json.loads(r.read())
 
@@ -67,6 +70,12 @@ def main() -> None:
         .config("spark.driver.memory", os.environ.get("STAGE_DRIVER_MEM", "24g"))
         .getOrCreate()
     )
+    # Spark silently rebinds to port+1.. if UI_PORT is taken
+    # (spark.port.maxRetries); trust the session's actual URL, not the
+    # configured port, or a leftover JVM on 4050 loses the whole ledger
+    # after the measured run (review r6)
+    global _UI_BASE
+    _UI_BASE = spark.sparkContext.uiWebUrl or _UI_BASE
     try:
         t0 = time.time()
         n_docs, n_triples = bench.bench_kg_pipeline(spark, sf_dir)

@@ -70,13 +70,24 @@ def main() -> None:
                 SCALING_REPL_SMALL="160",
                 SCALING_LABEL=args.label,
             )
-            rc = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(__file__), "scaling_bench.py")],
-                env=env, timeout=7200,
-            ).returncode
+            # a draw outcome must ALWAYS land in the log — the
+            # pre-registration's audit trail cannot have a hole exactly
+            # when the draw went long or died (review r6)
+            try:
+                rc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(os.path.dirname(__file__),
+                                  "scaling_bench.py")],
+                    env=env, timeout=7200,
+                ).returncode
+                outcome = {"triggered_draw_rc": rc}
+            except subprocess.TimeoutExpired:
+                outcome = {"triggered_draw_rc": None,
+                           "error": "timeout after 7200s"}
+            except Exception as e:  # noqa: BLE001 — audit trail over purity
+                outcome = {"triggered_draw_rc": None, "error": repr(e)}
             with open(args.log, "a") as f:
-                f.write(json.dumps({"triggered_draw_rc": rc}) + "\n")
+                f.write(json.dumps(outcome) + "\n")
             return
         time.sleep(args.interval_sec)
     print("window_watch: deadline reached, no qualifying window", flush=True)
