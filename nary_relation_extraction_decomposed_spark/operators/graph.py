@@ -381,31 +381,60 @@ def doc_kg_pairs(
     At 1000 executors the same argument holds — the rejoin never needed a
     shuffle, so no shuffle survives.
 
-    pred_rules: small rule relation (subrel_a, subrel_b, pred_a, pred_b) as
-    a DataFrame (collected here — it is broadcast-sized by the same
-    contract rejoin_triples relies on) or an iterable of 4-tuples.
+    pred_rules: small rule relation as a DataFrame (collected here — it is
+    broadcast-sized by the same contract the staged rejoins rely on) or an
+    iterable of tuples. BOTH rule schemas dispatch, mirroring
+    plans.pipeline._rejoin: the binary (subrel_a, subrel_b, pred_a, pred_b)
+    table / 4-tuples take the 3-ary specialization; the generalized
+    (slot, pred, pred_out) table / 3-tuples take the ANY-ARITY path — an
+    n-ary instance at a pivot requires one accepted sub-relation per slot
+    of arg_slots AND a rule for every (slot, pred), then emits one triple
+    per slot per rule, exactly like triples.rejoin_nary (cross products
+    collapse under the per-doc distinct, so only all-slots-non-empty and
+    the rule set matter).
 
-    Per-doc semantics are EXACTLY rejoin_triples over
+    Per-doc semantics are EXACTLY rejoin_triples (resp. rejoin_nary) over
     subrels_from_evidence(evidence_from_combined(doc_kg_combined(...)))
-    with url_level=True: same candidate pairs (no a!=b constraint), both
-    triples of each rule match, per-url set dedup. Pinned equal in
-    tests/test_graph_enrichment.py::test_pairs_fusion_equals_staged.
+    with url_level=True: same candidate pairs (no a!=b constraint), every
+    triple of each rule match, per-url set dedup. Pinned equal in
+    tests/test_graph_enrichment.py::test_pairs_fusion_equals_staged and
+    tests/test_nary_arity.py::test_4ary_fused_rejoin_equals_staged.
     Callers finish with triples.pairs_to_triples (canon map + support)."""
     from .mentions import build_gazetteer_index
     from .kernels import detect_mentions_in_text, sentence_predicates
 
     if isinstance(pred_rules, DataFrame):
-        pred_rules = [
-            (r["subrel_a"], r["subrel_b"], r["pred_a"], r["pred_b"])
-            for r in pred_rules.collect()
-        ]
-    # list per key, NOT a single value: the staged rejoin_triples joins the
-    # rule table, so two rule rows sharing (subrel_a, subrel_b) both emit —
-    # the fused path must do the same (review r6: a dict collapsed to the
-    # last rule and silently dropped the others' triples)
+        if {"slot", "pred", "pred_out"} <= set(pred_rules.columns):
+            pred_rules = [
+                (r["slot"], r["pred"], r["pred_out"])
+                for r in pred_rules.collect()
+            ]
+        else:
+            pred_rules = [
+                (r["subrel_a"], r["subrel_b"], r["pred_a"], r["pred_b"])
+                for r in pred_rules.collect()
+            ]
+    else:
+        pred_rules = list(pred_rules)
+    nary = bool(pred_rules) and len(pred_rules[0]) == 3
+    # list per key, NOT a single value: the staged rejoins JOIN the rule
+    # table, so two rule rows sharing a key both emit — the fused path must
+    # do the same (review r6: a dict collapsed to the last rule and
+    # silently dropped the others' triples)
     rules: dict[tuple, list] = {}
-    for a, b, pa, pb in pred_rules:
-        rules.setdefault((a, b), []).append((pa, pb))
+    if nary:
+        for s, p, pout in pred_rules:
+            rules.setdefault((s, p), []).append(pout)
+        slot_labels = [s for _, s in arg_slots]
+    else:
+        if len(arg_slots) != 2:
+            raise ValueError(
+                f"arity {len(arg_slots) + 1} needs a (slot, pred, pred_out) "
+                "rule table; the binary-rule table only supports slots (a, b)"
+            )  # mirrors plans.pipeline._rejoin's staged-path validation
+        for a, b, pa, pb in pred_rules:
+            rules.setdefault((a, b), []).append((pa, pb))
+        slot_labels = ["a", "b"]
 
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(build_gazetteer_index(gazetteer))
@@ -426,11 +455,12 @@ def doc_kg_pairs(
                 preds_of_sent = {
                     s["sent_id"]: (s["preds"], s["pred_toks"]) for s in sents
                 }
-                # subrels grouped by pivot (pred is a function of the pivot's
-                # sentence, so the (pivot_mid, pred) join key collapses to
-                # pivot_mid within a document)
-                a_side: dict[int, list] = {}
-                b_side: dict[int, list] = {}
+                # subrels grouped by (slot, pivot) — pred is a function of
+                # the pivot's sentence, so the (pivot_mid, pred) join key
+                # collapses to pivot_mid within a document
+                sides: dict[str, dict[int, list]] = {
+                    s: {} for s in slot_labels
+                }
                 pred_of_pivot: dict[int, str] = {}
                 for r in bfs_evidence(
                     len(sents), ms, pivot_type, arg_slots, max_path_len,
@@ -447,31 +477,50 @@ def doc_kg_pairs(
                     pred = pred_of_pivot[pv]
                     if pred is None:
                         continue
-                    # rejoin_triples consumes slots 'a' and 'b' literally;
-                    # other slot labels (n-ary >2 args use rejoin_nary) drop
-                    if r["slot"] == "a":
-                        side = a_side
-                    elif r["slot"] == "b":
-                        side = b_side
-                    else:
+                    # the binary path consumes slots 'a'/'b' literally
+                    # (rejoin_triples parity); the nary path consumes
+                    # exactly arg_slots' labels (rejoin_nary parity) —
+                    # either way, other slot labels drop
+                    side = sides.get(r["slot"])
+                    if side is None:
                         continue
                     side.setdefault(pv, []).append(
                         (by_mid[r["other_mid"]]["surface_norm"],
                          f"{pred}#{r['slot']}")
                     )
                 seen: set[tuple[str, str, str]] = set()
-                for pv, a_rows in a_side.items():
-                    b_rows = b_side.get(pv)
-                    if not b_rows:
-                        continue
-                    pivot_norm = by_mid[pv]["surface_norm"]
-                    for a_norm, subrel_a in a_rows:
-                        for b_norm, subrel_b in b_rows:
-                            for pred_a, pred_b in rules.get(
-                                (subrel_a, subrel_b), ()
-                            ):
-                                seen.add((pivot_norm, pred_a, a_norm))
-                                seen.add((pivot_norm, pred_b, b_norm))
+                if nary:
+                    # an instance needs one accepted subrel per slot AND a
+                    # rule for every (slot, pred); then every slot entry
+                    # emits per rule — the cross product of rejoin_nary
+                    # collapses to exactly this under per-doc distinct
+                    for pv, first_rows in sides[slot_labels[0]].items():
+                        pred = pred_of_pivot.get(pv)
+                        if pred is None or not first_rows:
+                            continue
+                        if any(not sides[s].get(pv) for s in slot_labels):
+                            continue
+                        if any((s, pred) not in rules for s in slot_labels):
+                            continue
+                        pivot_norm = by_mid[pv]["surface_norm"]
+                        for s in slot_labels:
+                            for pout in rules[(s, pred)]:
+                                for norm, _subrel in sides[s][pv]:
+                                    seen.add((pivot_norm, pout, norm))
+                else:
+                    a_side, b_side = sides["a"], sides["b"]
+                    for pv, a_rows in a_side.items():
+                        b_rows = b_side.get(pv)
+                        if not b_rows:
+                            continue
+                        pivot_norm = by_mid[pv]["surface_norm"]
+                        for a_norm, subrel_a in a_rows:
+                            for b_norm, subrel_b in b_rows:
+                                for pred_a, pred_b in rules.get(
+                                    (subrel_a, subrel_b), ()
+                                ):
+                                    seen.add((pivot_norm, pred_a, a_norm))
+                                    seen.add((pivot_norm, pred_b, b_norm))
                 for s, p, o in seen:
                     o_url.append(url)
                     o_subj.append(s)

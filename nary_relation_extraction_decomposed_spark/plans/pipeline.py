@@ -85,8 +85,9 @@ class PipelineConfig:
     # mentions/evidence (the checkpointed runner, the streaming job with
     # its surfaces sidecar) or canonicalizes (the canon map reads corpus
     # mention surfaces) pays a second detection pass — those callers keep
-    # this False. Binary (subrel_a, subrel_b) rule tables only; the
-    # generalized n-ary rule schema always takes the staged rejoin_nary.
+    # this False. Both rule-table schemas dispatch inside doc_kg_pairs
+    # (binary subrel pairs AND the generalized (slot, pred, pred_out)
+    # any-arity tables), mirroring _rejoin.
     fused_rejoin: bool = False
     # latest-per-url dedup mode — the pipeline's ONLY corpus-wide
     # full-text shuffle:
@@ -253,10 +254,7 @@ def run_pipeline(
     subrels = T.subrels_from_evidence(ev)
 
     canon = er.canonical_map(ments.select("surface_norm")) if config.canonicalize else None
-    binary_rules = {"subrel_a", "subrel_b", "pred_a", "pred_b"} <= set(
-        pred_rules.columns
-    )
-    if config.fused and config.fused_rejoin and binary_rules:
+    if config.fused and config.fused_rejoin:
         # triples-only fast lane (see fused_rejoin docstring): ONE doc
         # mapInPandas emits per-doc-distinct pairs; the support agg is the
         # only corpus exchange. Equivalence to the staged chain is pinned

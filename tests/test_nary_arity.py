@@ -188,3 +188,40 @@ def test_slot_rules_work_for_3ary_too(spark):
         ("alpha", "links.a", "beta", 1),
         ("alpha", "links.b", "gamma", 1),
     }
+
+
+def test_4ary_fused_rejoin_equals_staged(spark):
+    """Round 6: the fused per-doc rejoin (doc_kg_pairs nary dispatch via
+    PipelineConfig.fused_rejoin) must reproduce the staged rejoin_nary
+    chain exactly at arity 4 — including a duplicate (slot, pred) rule
+    table, where every rule row emits."""
+    import dataclasses
+
+    pages = _pages(spark, [
+        ("u1", "alpha beta gamma delta links"),
+        ("u2", "alpha beta gamma delta links"),
+        ("u3", "alpha beta gamma links"),            # slot c missing
+        ("u4", "alpha beta gamma delta"),            # no predicate
+        ("u5", "alpha beta links\ngamma delta"),     # cross-sentence BFS
+        ("u6", "alpha beta beta gamma delta links"), # multi-filler slot a
+    ])
+    cfg_fused = dataclasses.replace(CFG_4ARY, fused_rejoin=True)
+
+    def triples(rules, cfg):
+        res = run_pipeline(pages, _gaz(spark), rules, cfg)
+        return {
+            (r["subj"], r["pred"], r["obj"], r["support"])
+            for r in res.triples.collect()
+        }
+
+    rules = _slot_rules(spark)
+    want = triples(rules, CFG_4ARY)
+    assert triples(rules, cfg_fused) == want and want
+
+    rules_dup = rules.unionByName(spark.createDataFrame(
+        [("a", "links", "links.a2")],
+        "slot string, pred string, pred_out string",
+    ))
+    want_dup = triples(rules_dup, CFG_4ARY)
+    assert triples(rules_dup, cfg_fused) == want_dup
+    assert len(want_dup) > len(want)
