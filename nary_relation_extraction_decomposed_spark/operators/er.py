@@ -35,8 +35,30 @@ def minhash_signatures(surfaces: DataFrame, col: str = "surface_norm") -> DataFr
     at corpus scale; values are bit-identical (same xxhash64(shingle, seed)
     family, same min). Shuffle payload: MINHASH_PERMS longs per surface with
     map-side partial aggregation. Shingles are recomputed in the final
-    select (pure function of the surface, one regexp per row)."""
-    distinct = surfaces.select(col).distinct()
+    select (pure function of the surface, one regexp per row).
+
+    Partitioning: dedup via explicit repartition(n, col) + dropDuplicates,
+    NOT .distinct(). A plain distinct's shuffle output is AQE-coalesced by
+    size — a few MB of surface strings collapse to ONE partition, and the
+    expensive downstream stage (gram explode + perms x xxhash64 per gram)
+    then runs single-threaded (measured 3.6 s vs 0.9 s warm at 60k
+    surfaces / 32 cores). The explicit repartition is AQE-coalesce-exempt,
+    and because it already clusters by `col` BOTH the dedup and the
+    min-aggregate below run without any further exchange: one shuffle
+    total, fully parallel.
+
+    NARY_ER_DISTINCT=plain re-selects the pre-round-6 .distinct() shape —
+    diagnostic only, kept so tools/ab_harness.py can pin the speedup as
+    code-caused in one window (same pattern as SPARK_GRAFT_KG_FUSION)."""
+    import os
+
+    if os.environ.get("NARY_ER_DISTINCT", "repart") == "plain":
+        distinct = surfaces.select(col).distinct()
+    else:
+        nparts = surfaces.sparkSession.sparkContext.defaultParallelism
+        distinct = (
+            surfaces.select(col).repartition(nparts, F.col(col)).dropDuplicates([col])
+        )
     grams = distinct.select(
         F.col(col), F.explode(shingles_col(F.col(col))).alias("g")
     )
