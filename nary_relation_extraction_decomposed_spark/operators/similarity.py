@@ -163,6 +163,15 @@ def hyperplane_buckets(
     a shorter-than-dim vector likewise null-poisons the twin but here sums
     the non-null/present components. Fixed-dim corpora have none of the
     three."""
+    # Under-partitioned inputs (a small parquet file reads as ONE split)
+    # would run the whole posexplode + n_tables*n_planes-agg stage on one
+    # core. The explicit repartition is AQE-coalesce-exempt AND clusters by
+    # id, so the groupBy below needs no further exchange — the shuffle
+    # count is unchanged; only its position (and the parallelism) moves.
+    # Well-partitioned corpus scans skip this entirely.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < nparts:
+        df = df.repartition(nparts, F.col(id_col))
     # quantize ONCE in the projection — inside the aggs the round+cast
     # would be re-evaluated n_tables*n_planes times per exploded row
     # (measured +~50% on the sf0.1 self-query before it was hoisted)
@@ -247,6 +256,17 @@ def ann_topk_lsh(
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])  # union over tables, ids only
+        # 16 bytes/row, so AQE coalesces the dedup output to a handful of
+        # partitions — but the NEXT stage evaluates the interpreted-HOF
+        # cosine over every candidate, the entry's densest compute. The
+        # explicit repartition costs one tiny id-only exchange, runs the
+        # rerank at full width, and clusters by q_id so the top-k window
+        # below reuses the partitioning instead of re-shuffling the scored
+        # rows (measured 2.7 -> 1.5 s warm on the sf0.1 self-query rerank;
+        # whole entry 5.8 -> 3.9 s with the hyperplane_buckets fix).
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, F.col("q_id")
+        )
     )
     qv = queries.select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
@@ -336,7 +356,16 @@ def _assign_nearest(
     """Assign each vector to its n_probe nearest centroids (by cosine,
     ties -> smaller cid): broadcast the tiny centroid table, rank, filter.
     Norms precomputed per side — not per (vector, centroid) pair, which
-    would re-walk each vector nlist times (cosine_prenormed_col)."""
+    would re-walk each vector nlist times (cosine_prenormed_col).
+
+    An under-partitioned vecs side (small single-split parquet) would run
+    the nlist interpreted cosines per vector on one core; the explicit
+    repartition (AQE-coalesce-exempt) spreads it AND clusters by id so the
+    rank window below re-uses the partitioning — broadcast joins preserve
+    the left side's distribution, so no second exchange appears."""
+    nparts = vecs.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < nparts:
+        vecs = vecs.repartition(nparts, F.col("id"))
     v = vecs.withColumn("_vn", norm_col(F.col("vec")))
     cent = broadcast(centroids.withColumn("_cn", norm_col(F.col("c_vec"))))
     scored = v.crossJoin(cent).select(
