@@ -444,3 +444,89 @@ def test_hyperplane_signs_fixture_matches_engine(spark):
             for p in range(n_planes):
                 engine_sgn = 1 if (b >> p) & 1 else -1
                 assert engine_sgn == want[(pos, t, p)], (pos, t, p)
+
+
+def test_er_minhash_distinct_shapes_identical(spark, monkeypatch):
+    """Round-6 AQE-starvation fix: minhash_signatures dedups surfaces via
+    explicit repartition(n, col) + dropDuplicates (one exchange, parallel)
+    instead of .distinct() (whose small shuffle output AQE coalesces to ONE
+    partition, single-threading the gram explode + 64-hash stage). The two
+    shapes must be value-identical — including on inputs WITH duplicate
+    surfaces, which exercises the dedup itself. NARY_ER_DISTINCT=plain is
+    the diagnostic re-selection of the old shape (tools/ab_harness.py)."""
+    from nary_relation_extraction_decomposed_spark.operators.er import (
+        minhash_signatures,
+    )
+
+    surfaces = spark.createDataFrame(
+        [("acme corp",), ("acme corp",), ("acme corporation",),
+         ("zz unrelated",), ("a b c",), ("a b c",)],
+        "surface_norm string",
+    )
+
+    def sig_set(shape: str):
+        monkeypatch.setenv("NARY_ER_DISTINCT", shape)
+        return {
+            (r["surface_norm"], tuple(r["sig"]), tuple(r["shingles"]))
+            for r in minhash_signatures(surfaces).collect()
+        }
+
+    plain, repart = sig_set("plain"), sig_set("repart")
+    assert plain == repart
+    assert len(repart) == 4  # duplicates deduped by both shapes
+
+    # the repart shape pays exactly ONE exchange: the explicit repartition
+    # clusters by surface_norm, so neither the dedup nor the 64-min
+    # aggregate re-shuffles
+    monkeypatch.setenv("NARY_ER_DISTINCT", "repart")
+    plan = minhash_signatures(surfaces)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hyperplane_buckets_input_partitioning_invariant(spark):
+    """Round-6: hyperplane_buckets repartitions under-partitioned inputs
+    before the posexplode+agg stage (a single-split parquet scan would
+    otherwise run the whole signature computation on one core). Buckets
+    must be identical from a 1-partition and a many-partition copy of the
+    same input — guaranteed by integer micro-unit sums (exact under any
+    accumulation order), asserted here."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+
+    def buckets(df):
+        return {
+            (r["id"], r["tbl"], r["bucket"])
+            for r in S.hyperplane_buckets(
+                df, "vec_id", "embedding", 64, 4, 8
+            ).collect()
+        }
+
+    one = buckets(em.coalesce(1))
+    many = buckets(em.repartition(8, F.col("vec_id")))
+    assert one == many and one
+
+
+def test_assign_nearest_input_partitioning_invariant(spark):
+    """Same invariance for the IVF assignment path: _assign_nearest
+    repartitions an under-partitioned vecs side; the (id -> cid) assignment
+    must not depend on input partitioning (per-row rounded cosine +
+    deterministic cid tie-break)."""
+    from pyspark.sql.window import Window
+
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+    vecs = em.select(
+        F.col("vec_id").alias("id"), S.as_double(F.col("embedding")).alias("vec")
+    )
+    cent = (
+        vecs.orderBy("id").limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("id")) - 1).cast("int").alias("cid"),
+            F.col("vec").alias("c_vec"),
+        )
+    )
+
+    def assign(df):
+        return {
+            (r["id"], r["cid"]) for r in S._assign_nearest(df, cent).collect()
+        }
+
+    assert assign(vecs.coalesce(1)) == assign(vecs.repartition(8, F.col("id")))

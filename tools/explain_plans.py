@@ -29,7 +29,7 @@ CASES = [
     ("set_ops", "union/intersect/except as one plan: agg-dedup, left-semi, left-anti branches"),
     ("join_asof", "sort-based as-of (round 3): union of tagged sides -> ONE exchange on the key -> one window pass with last_value carry — NO join operator, no per-key fan-out; null-ts rows filtered at the scan (PushedFilters)"),
     ("mm_meta", "round 4: synthetic media containers built ENTIRELY JVM-side (binary literals + hex/unhex/concat in the project — no Python before the single mapInPandas metadata pass)"),
-    ("ann_lsh", "round 5: hyperplane signer recompiled to posexplode + ONE HashAggregate of n_tables*n_planes codegen'd conditional sums — the SIGNATURE side has zero interpreted aggregate/zip_with lambdas (the only ones left in the plan are the rerank's per-id norms and ONE dot per deduped candidate, down from 3 interpreted walks per raw candidate); candidate dedup exchanges (q_id, n_id) pairs ONLY — the 64-dim vectors re-attach AFTER the dedup"),
+    ("ann_lsh", "round 5: hyperplane signer recompiled to posexplode + ONE HashAggregate of n_tables*n_planes codegen'd conditional sums — the SIGNATURE side has zero interpreted aggregate/zip_with lambdas (the only ones left in the plan are the rerank's per-id norms and ONE dot per deduped candidate, down from 3 interpreted walks per raw candidate); candidate dedup exchanges (q_id, n_id) pairs ONLY — the 64-dim vectors re-attach AFTER the dedup; round 6: under-partitioned inputs get an explicit REPARTITION_BY_COL before the signature stage (AQE-coalesce-exempt — a single-split scan no longer single-threads the agg), and the deduped candidate ids repartition by q_id so the interpreted-cosine rerank runs full-width and the top-k window reuses the clustering"),
     ("dedup_minhash_pairs", "round 5: pair generation from the committed signature fixture — single groupBy(band,bucket) shuffle, deterministic slice() truncation visible in the aggregate's project, in-array pair expansion (no self-join)"),
 ]
 
