@@ -18,7 +18,6 @@ below is the only thing that would change.
 
 from __future__ import annotations
 
-import os
 import warnings
 
 import pyspark.sql.functions as F
@@ -62,32 +61,17 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
         bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
         m = mins.select("u", F.least("u", "mn").alias("m"))
-        # No intra-round distinct()s on ls/directed: duplicates ((v, m)
-        # emitted via two different u's, etc.) are bounded by the 2|E|
-        # bidir row count — they cannot compound because e_next dedups at
-        # round end — and the min()-aggregates are duplicate-insensitive.
-        # Measured on the physical plan: one fewer Exchange per round
-        # (11 -> 10; removing directed's dedup re-exposes the groupBy(u)
-        # exchange it had been feeding) and two fewer full hash-agg dedup
-        # passes over O(|E|) rows. Output row-identical (CC test suite,
-        # incl. random-graph agreement with driver union-find).
-        # NARY_CC_ROUND_DEDUP=1 re-selects the old dedup-every-step shape
-        # (diagnostic only, for tools/ab_harness.py same-window pinning).
-        _round_dedup = os.environ.get("NARY_CC_ROUND_DEDUP", "0") == "1"
         ls = (
             bidir.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        if _round_dedup:
-            ls = ls.distinct()
         # ---- small star
         directed = ls.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        if _round_dedup:
-            directed = directed.distinct()
+        ).distinct()
         mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
         ss_nbrs = (
             directed.join(mins2, "u")
