@@ -312,10 +312,19 @@ def ivf_index(
     break by cid, so the index is identical across runs/clusters — no
     stored model, resume-safe."""
     # c is referenced by the seeds, every Lloyd assignment, AND the final
-    # lists — truncate once (the caller's corpus may be an expensive chain)
+    # lists — truncate once (the caller's corpus may be an expensive chain).
+    # Repartition an under-partitioned corpus BEFORE the checkpoint: the
+    # materialized blocks then carry full-width partitioning, so every
+    # per-round _assign_nearest sees a well-partitioned input and skips
+    # its own conditional repartition (one exchange total, not one per
+    # Lloyd round).
     c = corpus.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
-    ).localCheckpoint(eager=False)
+    )
+    nparts = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < nparts:
+        c = c.repartition(nparts, F.col("id"))
+    c = c.localCheckpoint(eager=False)
     # seed table is nlist rows — the single-partition window is trivial
     seeds = (
         c.orderBy("id")
