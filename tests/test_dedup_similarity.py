@@ -530,3 +530,22 @@ def test_assign_nearest_input_partitioning_invariant(spark):
         }
 
     assert assign(vecs.coalesce(1)) == assign(vecs.repartition(8, F.col("id")))
+
+
+def test_ann_lsh_end_to_end_partitioning_invariant(spark):
+    """End-to-end twin of the buckets test: the FULL ann_topk_lsh result
+    (ids, cosine, rank) must be identical from a 1-partition and a
+    many-partition copy of the same corpus — pins the whole chain
+    (buckets -> candidate dedup -> explicit q_id repartition -> rounded
+    cosine -> deterministic-tie top-k window) against partitioning."""
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").limit(150)
+
+    def run(df):
+        return {
+            (r["q_id"], r["n_id"], r["cosine"], r["rank"])
+            for r in S.ann_topk_lsh(df, df, k=3).collect()
+        }
+
+    one = run(em.coalesce(1))
+    many = run(em.repartition(8, F.col("vec_id")))
+    assert one == many and one
