@@ -16,6 +16,8 @@ functions + xxhash64) — zero Python in the hot path. Determinism:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -50,8 +52,6 @@ def minhash_signatures(surfaces: DataFrame, col: str = "surface_norm") -> DataFr
     NARY_ER_DISTINCT=plain re-selects the pre-round-6 .distinct() shape —
     diagnostic only, kept so tools/ab_harness.py can pin the speedup as
     code-caused in one window (same pattern as SPARK_GRAFT_KG_FUSION)."""
-    import os
-
     if os.environ.get("NARY_ER_DISTINCT", "repart") == "plain":
         distinct = surfaces.select(col).distinct()
     else:
