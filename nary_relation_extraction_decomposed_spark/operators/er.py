@@ -43,7 +43,7 @@ def minhash_signatures(surfaces: DataFrame, col: str = "surface_norm") -> DataFr
     NOT .distinct(). A plain distinct's shuffle output is AQE-coalesced by
     size — a few MB of surface strings collapse to ONE partition, and the
     expensive downstream stage (gram explode + perms x xxhash64 per gram)
-    then runs single-threaded (measured 3.6 s vs 0.9 s warm at 60k
+    then runs single-threaded (measured 3.6 s vs 1.05 s warm at 60k
     surfaces / 32 cores). The explicit repartition is AQE-coalesce-exempt,
     and because it already clusters by `col` BOTH the dedup and the
     min-aggregate below run without any further exchange: one shuffle
