@@ -404,7 +404,11 @@ def doc_kg_pairs(
     from .kernels import detect_mentions_in_text, sentence_predicates
 
     if isinstance(pred_rules, DataFrame):
-        if {"slot", "pred", "pred_out"} <= set(pred_rules.columns):
+        # dispatch on the SCHEMA, not the collected rows: an empty nary
+        # rule table must stay nary (emit zero triples) exactly like the
+        # staged _rejoin, which also dispatches on columns
+        nary = {"slot", "pred", "pred_out"} <= set(pred_rules.columns)
+        if nary:
             pred_rules = [
                 (r["slot"], r["pred"], r["pred_out"])
                 for r in pred_rules.collect()
@@ -416,7 +420,11 @@ def doc_kg_pairs(
             ]
     else:
         pred_rules = list(pred_rules)
-    nary = bool(pred_rules) and len(pred_rules[0]) == 3
+        # an empty literal rule list carries no schema: infer the lane
+        # from the arity so arity > 2 never hits the binary-only check
+        nary = (
+            len(pred_rules[0]) == 3 if pred_rules else len(arg_slots) != 2
+        )
     # list per key, NOT a single value: the staged rejoins JOIN the rule
     # table, so two rule rows sharing a key both emit — the fused path must
     # do the same (review r6: a dict collapsed to the last rule and
@@ -494,10 +502,10 @@ def doc_kg_pairs(
                     # rule for every (slot, pred); then every slot entry
                     # emits per rule — the cross product of rejoin_nary
                     # collapses to exactly this under per-doc distinct
-                    for pv, first_rows in sides[slot_labels[0]].items():
-                        pred = pred_of_pivot.get(pv)
-                        if pred is None or not first_rows:
-                            continue
+                    for pv in sides[slot_labels[0]]:
+                        # non-None by construction: pred-less pivots never
+                        # enter sides (filtered at BFS-row intake above)
+                        pred = pred_of_pivot[pv]
                         if any(not sides[s].get(pv) for s in slot_labels):
                             continue
                         if any((s, pred) not in rules for s in slot_labels):

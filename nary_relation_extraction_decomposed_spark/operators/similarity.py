@@ -19,6 +19,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 
+def _widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition `df` to defaultParallelism clustered by `key_col` when it
+    is under-partitioned (a small single-split parquet scan would run heavy
+    downstream compute on one core), WITHOUT finalizing an adaptive plan.
+
+    `df.rdd.getNumPartitions()` on an exchange-bearing plan materializes
+    every upstream query stage under AQE just to read a count — the chain
+    would execute once for the probe and again for the real action (review
+    r6 cont.). So: probe the width only when the initial physical plan is
+    exchange-free (scans / narrow chains / localCheckpoints — the
+    motivating under-partitioned cases, where .rdd is split arithmetic);
+    for exchange-bearing chains skip the probe and repartition
+    unconditionally — the explicit exchange is AQE-coalesce-exempt (kills
+    the small-shuffle starvation pattern) and clusters by `key_col`, which
+    every caller's downstream groupBy/window reuses, and it is strictly
+    cheaper than the probe's full double execution."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" not in plan and df.rdd.getNumPartitions() >= nparts:
+        return df
+    return df.repartition(nparts, F.col(key_col))
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -168,10 +191,8 @@ def hyperplane_buckets(
     # core. The explicit repartition is AQE-coalesce-exempt AND clusters by
     # id, so the groupBy below needs no further exchange — the shuffle
     # count is unchanged; only its position (and the parallelism) moves.
-    # Well-partitioned corpus scans skip this entirely.
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < nparts:
-        df = df.repartition(nparts, F.col(id_col))
+    # Well-partitioned corpus scans skip this entirely (_widen_if_narrow).
+    df = _widen_if_narrow(df, id_col)
     # quantize ONCE in the projection — inside the aggs the round+cast
     # would be re-evaluated n_tables*n_planes times per exploded row
     # (measured +~50% on the sf0.1 self-query before it was hoisted)
@@ -318,12 +339,12 @@ def ivf_index(
     # per-round _assign_nearest sees a well-partitioned input and skips
     # its own conditional repartition (one exchange total, not one per
     # Lloyd round).
-    c = corpus.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+    c = _widen_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+        ),
+        "id",
     )
-    nparts = corpus.sparkSession.sparkContext.defaultParallelism
-    if c.rdd.getNumPartitions() < nparts:
-        c = c.repartition(nparts, F.col("id"))
     c = c.localCheckpoint(eager=False)
     # seed table is nlist rows — the single-partition window is trivial
     seeds = (
@@ -372,10 +393,7 @@ def _assign_nearest(
     repartition (AQE-coalesce-exempt) spreads it AND clusters by id so the
     rank window below re-uses the partitioning — broadcast joins preserve
     the left side's distribution, so no second exchange appears."""
-    nparts = vecs.sparkSession.sparkContext.defaultParallelism
-    if vecs.rdd.getNumPartitions() < nparts:
-        vecs = vecs.repartition(nparts, F.col("id"))
-    v = vecs.withColumn("_vn", norm_col(F.col("vec")))
+    v = _widen_if_narrow(vecs, "id").withColumn("_vn", norm_col(F.col("vec")))
     cent = broadcast(centroids.withColumn("_cn", norm_col(F.col("c_vec"))))
     scored = v.crossJoin(cent).select(
         "id", "vec", "cid",

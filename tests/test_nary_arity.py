@@ -225,3 +225,10 @@ def test_4ary_fused_rejoin_equals_staged(spark):
     want_dup = triples(rules_dup, CFG_4ARY)
     assert triples(rules_dup, cfg_fused) == want_dup
     assert len(want_dup) > len(want)
+
+    # an EMPTY nary rule table keeps nary semantics (zero triples) in both
+    # lanes — the fused path dispatches on the schema, not the first row
+    # (review r6 cont.: it used to fall into the binary branch and raise)
+    rules_empty = rules.filter("pred = 'nonexistent'")
+    assert triples(rules_empty, CFG_4ARY) == set()
+    assert triples(rules_empty, cfg_fused) == set()

@@ -124,8 +124,23 @@ def submit(cpus: int, pages: str, out: str, extra: list[str]) -> dict:
     if res.returncode != 0:
         sys.stderr.write(res.stdout[-2000:] + "\n" + res.stderr[-4000:] + "\n")
         raise SystemExit(f"spark-submit local[{cpus}] failed")
-    line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    # Last PARSEABLE JSON line, scanned back-to-front: a Spark/py4j warning
+    # that happens to start with "{", or a missing record after a job
+    # contract change, must not kill a multi-run sweep with a bare
+    # IndexError/JSONDecodeError and no captured output (review r6 cont.).
+    rec = None
+    for l in reversed(res.stdout.strip().splitlines()):
+        if l.startswith("{"):
+            try:
+                rec = json.loads(l)
+                break
+            except json.JSONDecodeError:
+                continue
+    if not isinstance(rec, dict):
+        sys.stderr.write(res.stdout[-2000:] + "\n" + res.stderr[-4000:] + "\n")
+        raise SystemExit(
+            f"spark-submit local[{cpus}] exited 0 but printed no JSON record"
+        )
     rec["submit_wall_sec"] = round(time.time() - t0, 2)
     rec["steal_pct"] = round(100.0 * (s1 - s0) / max(c1 - c0, 1), 1)
     time.sleep(8)  # let the JVM/python workers fully release between runs
