@@ -483,6 +483,39 @@ def test_er_minhash_distinct_shapes_identical(spark, monkeypatch):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_widen_if_narrow_probe_vs_exchange_dispatch(spark):
+    """_widen_if_narrow must (a) widen a narrow exchange-free input via the
+    partition-count probe, (b) leave an already-wide exchange-free input
+    untouched, and (c) repartition an exchange-bearing chain WITHOUT
+    probing getNumPartitions (under AQE the probe would materialize every
+    upstream stage; review r6 cont.). Values are never changed."""
+    nparts = spark.sparkContext.defaultParallelism
+    em = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id")
+
+    # (a) narrow scan chain -> widened by key
+    narrow = S._widen_if_narrow(em.coalesce(1), "vec_id")
+    assert narrow.rdd.getNumPartitions() == nparts
+
+    # (b) already-wide exchange-free input -> returned as-is (same plan id)
+    wide = em.repartition(nparts, F.col("vec_id")).localCheckpoint()
+    assert S._widen_if_narrow(wide, "vec_id") is wide
+
+    # (c) exchange-bearing chain -> unconditional keyed repartition on top
+    shuffled = em.groupBy("vec_id").count()
+    out = S._widen_if_narrow(shuffled, "vec_id")
+    assert out is not shuffled
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    # the keyed repartition satisfies the aggregate's distribution
+    # requirement, so Catalyst plans ONE collapsed exchange (not two) —
+    # the explicit repartition costs nothing here, it replaces the
+    # groupBy's own shuffle with an AQE-coalesce-exempt one
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert sorted(r["vec_id"] for r in out.collect()) == sorted(
+        r["vec_id"] for r in shuffled.collect()
+    )
+
+
 def test_hyperplane_buckets_input_partitioning_invariant(spark):
     """Round-6: hyperplane_buckets repartitions under-partitioned inputs
     before the posexplode+agg stage (a single-split parquet scan would
