@@ -332,3 +332,95 @@ def test_golden_triples_invariant_under_co_mention(spark, fixture_dir):
         return {tuple(r) for r in df.select("subj", "pred", "obj", "support").collect()}
 
     assert triple_set(False) == triple_set(True)
+
+
+def test_pairs_fusion_equals_staged_random_corpora(spark):
+    """Property twin of test_pairs_fusion_equals_staged (hypothesis,
+    derandomized): on RANDOM tiny corpora — random sentence layouts,
+    random rule-table subsets (including empty and duplicate-key tables),
+    both the binary and the generalized n-ary lane — the fused per-doc
+    rejoin must equal the staged combined->evidence->subrels->rejoin
+    chain at url level AND after support aggregation. Random layouts
+    exercise cross-sentence BFS, missing slots, pred-less pivots, and
+    multi-filler cross products the fixed fixtures can't enumerate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nary_relation_extraction_decomposed_spark.operators.graph import (
+        doc_kg_combined,
+        doc_kg_pairs,
+        evidence_from_combined,
+    )
+    from nary_relation_extraction_decomposed_spark.operators.triples import (
+        pairs_to_triples,
+        rejoin_nary,
+        rejoin_triples,
+        subrels_from_evidence,
+    )
+
+    gaz = spark.createDataFrame(
+        [("alpha", "E1", "PIV"), ("beta", "E2", "A"), ("eps", "E3", "A"),
+         ("gamma", "E4", "B"), ("delta", "E5", "C")],
+        "surface_norm string, ent_id string, ent_type string",
+    )
+    vocab = ["links", "binds"]
+    token_pool = ["alpha", "beta", "eps", "gamma", "delta",
+                  "links", "binds", "foo", "bar"]
+    sentence = st.lists(
+        st.sampled_from(token_pool), min_size=2, max_size=8
+    ).map(" ".join)
+    doc = st.lists(sentence, min_size=1, max_size=3).map("\n".join)
+    corpora = st.lists(doc, min_size=2, max_size=4)
+
+    bin_rows = [(f"{p}#a", f"{p}#b", p, f"{p}.ctx") for p in vocab]
+    nary_rows = [(s, p, f"{p}.{s}") for p in vocab for s in ("a", "b", "c")]
+    bin_rules = st.lists(
+        st.sampled_from(bin_rows), max_size=2, unique=True
+    )
+    nary_rules = st.lists(
+        st.sampled_from(nary_rows), max_size=6, unique=True
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(corpora, st.booleans(), bin_rules, nary_rules, st.booleans())
+    def check(texts, nary, brows, nrows, dup_rule):
+        docs = spark.createDataFrame(
+            [(f"u{i}", t) for i, t in enumerate(texts)],
+            "url string, text string",
+        )
+        if nary:
+            slots = [("A", "a"), ("B", "b"), ("C", "c")]
+            if dup_rule and nrows:
+                nrows = nrows + [(nrows[0][0], nrows[0][1],
+                                  nrows[0][2] + "_alt")]
+            rules = spark.createDataFrame(
+                nrows, "slot string, pred string, pred_out string"
+            )
+        else:
+            slots = [("A", "a"), ("B", "b")]
+            if dup_rule and brows:
+                brows = brows + [(brows[0][0], brows[0][1],
+                                  brows[0][2] + "_alt", brows[0][3] + "_alt")]
+            rules = spark.createDataFrame(
+                brows,
+                "subrel_a string, subrel_b string, "
+                "pred_a string, pred_b string",
+            )
+
+        sr = subrels_from_evidence(evidence_from_combined(
+            doc_kg_combined(docs, gaz, vocab, "PIV", slots)))
+        pairs = doc_kg_pairs(docs, gaz, vocab, "PIV", slots, rules)
+        if nary:
+            labels = [s for _, s in slots]
+            staged_u = rejoin_nary(sr, rules, labels, None, True)
+            staged_t = rejoin_nary(sr, rules, labels)
+        else:
+            staged_u = rejoin_triples(sr, rules, url_level=True)
+            staged_t = rejoin_triples(sr, rules)
+        assert ({tuple(r) for r in pairs_to_triples(pairs, url_level=True)
+                 .collect()}
+                == {tuple(r) for r in staged_u.collect()})
+        assert ({tuple(r) for r in pairs_to_triples(pairs).collect()}
+                == {tuple(r) for r in staged_t.collect()})
+
+    check()
