@@ -56,10 +56,10 @@ def main() -> None:
         help="triples-only fast lane (round 6): fuse decompose+rejoin into "
              "the doc pass (graph.doc_kg_pairs) — the 2.35x/13.2x-bytes "
              "shape the bench headline measures. Off by default here "
-             "because this runner materializes stage artifacts (and "
-             "canonicalizes by default), which would add a second "
-             "detection pass; incompatible with --checkpoint (the "
-             "checkpointed runner's manifests are stage-granular)",
+             "because this runner surfaces the staged intermediate frames "
+             "(and canonicalizes by default, which adds a second detection "
+             "pass in this lane). With --checkpoint the lane checkpoints "
+             "as docs -> pairs [-> mentions -> canon] -> triples",
     )
     ap.add_argument(
         "--prev-triples", default=None,
@@ -108,9 +108,6 @@ def main() -> None:
         fused=not args.no_fused,
         fused_rejoin=args.fused_rejoin,
     )
-    if args.fused_rejoin and args.checkpoint:
-        ap.error("--fused-rejoin is incompatible with --checkpoint "
-                 "(stage-granular manifests need the staged rejoin)")
     if args.fused_rejoin and args.no_fused:
         ap.error("--fused-rejoin requires the fused doc pass "
                  "(drop --no-fused)")

@@ -49,8 +49,11 @@ from pyspark.sql import SparkSession
 # in every stage fingerprint, so old checkpoint dirs invalidate and rebuild
 # instead of silently replaying stale results. v2 = round-4 nearest-predicate
 # attachment (sentences gained preds/pred_toks; subrels/triples semantics
-# changed from first-token-rule).
-ENGINE_VERSION = 2
+# changed from first-token-rule). v3 = round-6 aux-input fingerprints:
+# gazetteer/rule-table CONTENT now chains into the mentions/pairs/triples
+# fingerprints (pre-v3 manifests could silently replay triples built from a
+# different rule table), plus the fused pairs->triples checkpoint lane.
+ENGINE_VERSION = 3
 
 
 def fingerprint(*parts: str) -> str:
@@ -59,6 +62,23 @@ def fingerprint(*parts: str) -> str:
         h.update(p.encode("utf-8"))
         h.update(b"\x00")
     return h.hexdigest()[:16]
+
+
+def content_fingerprint(df) -> str:
+    """Order-insensitive CONTENT digest of a (small) auxiliary input —
+    gazetteer, rule table — for chaining into stage fingerprints: one agg
+    over sum(decimal(xxhash64(row))) + count, so a changed/added/removed
+    row changes the digest regardless of row order or partitioning.
+    decimal(38,0) keeps the sum exact (no ANSI overflow) to ~1e19 rows.
+
+    This is a FULL SCAN of df per call — cheap for broadcast-class dims
+    (the intended inputs); for a huge side pass a precomputed version tag
+    to run_pipeline_checkpointed instead."""
+    row = df.select(
+        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return fingerprint(str(row["s"]), str(row["n"]))
 
 
 class HadoopFS:

@@ -110,10 +110,14 @@ class PipelineConfig:
 @dataclass
 class PipelineResult:
     docs: DataFrame
-    mentions: DataFrame
-    sentences: DataFrame
-    evidence: DataFrame
-    subrels: DataFrame
+    # None in the fused-rejoin CHECKPOINTED lane, whose single UDF never
+    # surfaces the intermediate frames (mentions stays populated whenever
+    # canonicalize is on; run_pipeline itself always recovers all four
+    # from the combined stream)
+    mentions: DataFrame | None
+    sentences: DataFrame | None
+    evidence: DataFrame | None
+    subrels: DataFrame | None
     canon_map: DataFrame | None
     triples: DataFrame
     stages: dict[str, DataFrame] = field(default_factory=dict)
@@ -127,18 +131,39 @@ def run_pipeline_checkpointed(
     config: PipelineConfig,
     ckpt_root: str,
     corpus_fp: str,
+    gaz_fp: str | None = None,
+    rules_fp: str | None = None,
 ) -> tuple[PipelineResult, "object"]:
     """run_pipeline with per-stage checkpoint/manifest (kill-resume).
 
     Stage DAG and fingerprints chain so a rerun after ANY kill point skips
     every committed stage and recomputes only the tail. Returns (result,
     checkpointer) — checkpointer.stats records skipped/built per stage.
+
+    The gazetteer and rule-table CONTENT chain into the fingerprints of
+    the stages that consume them (mentions/pairs and triples), so a rerun
+    against the same checkpoint root with an edited dim recomputes exactly
+    the affected suffix instead of replaying stale results (pre-v3 bug:
+    only the pages path + config were fingerprinted). Both dims are
+    broadcast-class by design; pass a precomputed gaz_fp/rules_fp version
+    tag to skip the content scan for unusually large sides.
+
+    config.fused_rejoin takes the production fast lane through stage
+    "pairs" (graph.doc_kg_pairs, ONE Python crossing docs->url-level
+    pairs) + "triples" (pairs_to_triples support agg) — the same lane
+    bench/scaling measure, now with per-stage kill-resume. Equivalence to
+    the staged lane is pinned (tests/test_catalog_checkpoint.py). In that
+    lane sentences/evidence/subrels are not materialized (the fused UDF
+    never surfaces them); mentions/canon are built only when
+    config.canonicalize.
     """
-    from .checkpoint import StageCheckpointer, fingerprint
+    from .checkpoint import StageCheckpointer, content_fingerprint, fingerprint
 
     spark = pages.sparkSession
     ck = StageCheckpointer(spark, ckpt_root)
     cfg_fp = fingerprint(corpus_fp, repr(config))
+    gaz_fp = gaz_fp or content_fingerprint(gazetteer)
+    rules_fp = rules_fp or content_fingerprint(pred_rules)
 
     width = config.python_parallelism or (
         spark.sparkContext.defaultParallelism * 2
@@ -150,9 +175,44 @@ def run_pipeline_checkpointed(
             num_partitions=width,
         ),
     )
-    ments, fp_m = ck.run_stage(
-        "mentions", fp_docs, lambda: M.detect_mentions(docs, gazetteer)
-    )
+
+    def mentions_stage():
+        return ck.run_stage(
+            "mentions", fingerprint(fp_docs, gaz_fp),
+            lambda: M.detect_mentions(docs, gazetteer),
+        )
+
+    if config.fused_rejoin:
+        pairs, fp_p = ck.run_stage(
+            "pairs", fingerprint(fp_docs, gaz_fp, rules_fp),
+            lambda: graph.doc_kg_pairs(
+                docs, gazetteer, list(config.pred_vocab),
+                config.pivot_type, list(config.arg_slots), pred_rules,
+                config.max_path_len,
+                co_mention_edges=config.co_mention_edges,
+                token_window=config.token_window,
+            ),
+        )
+        if config.canonicalize:
+            ments, fp_m = mentions_stage()
+            canon, fp_c = ck.run_stage(
+                "canon", fp_m,
+                lambda: er.canonical_map(ments.select("surface_norm")),
+            )
+        else:
+            ments, canon, fp_c = None, None, "nocanon"
+        trips, _ = ck.run_stage(
+            "triples", fingerprint(fp_p, fp_c),
+            lambda: T.pairs_to_triples(pairs, canon),
+        )
+        result = PipelineResult(
+            docs=docs, mentions=ments, sentences=None, evidence=None,
+            subrels=None, canon_map=canon, triples=trips,
+            stages={"pairs": pairs},
+        )
+        return result, ck
+
+    ments, fp_m = mentions_stage()
     sents, fp_s = ck.run_stage(
         "sentences", fp_docs,
         lambda: M.analyze_sentences(docs, list(config.pred_vocab)),
@@ -176,7 +236,7 @@ def run_pipeline_checkpointed(
     else:
         canon, fp_c = None, "nocanon"
     trips, _ = ck.run_stage(
-        "triples", fingerprint(fp_sr, fp_c),
+        "triples", fingerprint(fp_sr, fp_c, rules_fp),
         lambda: _rejoin(subrels, pred_rules, canon, config),
     )
     result = PipelineResult(
