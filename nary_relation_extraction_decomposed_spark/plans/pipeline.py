@@ -70,8 +70,9 @@ class PipelineConfig:
     # mapInPandas over the deduped docs (zero shuffles docs->evidence;
     # valid because dedup leaves one row per url); mentions/sentences/
     # evidence/ER all recover from the combined stream by filter+project.
-    # The checkpointed runner keeps unfused stages (per-stage manifests
-    # need stage-granular artifacts).
+    # The checkpointed runner keeps unfused stages unless fused_rejoin is
+    # set (then it checkpoints the pairs lane; see
+    # run_pipeline_checkpointed).
     fused: bool = True
     # round 6: ALSO fuse decompose + rejoin + per-doc triple dedup into the
     # doc mapInPandas (graph.doc_kg_pairs) — the rejoin key
@@ -82,10 +83,11 @@ class PipelineConfig:
     # corpus-level exchange (measured 13.2x JVM bytes/doc, 2.35x wall —
     # BENCH/BASELINE.md round 6). Trade-off: the triples frame no longer
     # derives from the combined stream, so a caller that ALSO materializes
-    # mentions/evidence (the checkpointed runner, the streaming job with
-    # its surfaces sidecar) or canonicalizes (the canon map reads corpus
-    # mention surfaces) pays a second detection pass — those callers keep
-    # this False. Both rule-table schemas dispatch inside doc_kg_pairs
+    # mentions/evidence (the staged checkpoint lane, the streaming job
+    # with its surfaces sidecar) or canonicalizes (the canon map reads
+    # corpus mention surfaces) pays a second detection pass — the
+    # streaming job keeps this False; the checkpointed runner supports
+    # both lanes (r6 cont.). Both rule-table schemas dispatch inside doc_kg_pairs
     # (binary subrel pairs AND the generalized (slot, pred, pred_out)
     # any-arity tables), mirroring _rejoin.
     fused_rejoin: bool = False
