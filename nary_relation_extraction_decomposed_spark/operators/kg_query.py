@@ -1,0 +1,107 @@
+"""Basic-graph-pattern (BGP) matching over the constructed KG.
+
+The engine's downstream query surface: once the pipeline has emitted a
+(subj, pred, obj[, support]) triple table, users ask multi-hop pattern
+queries over it — SPARQL-style conjunctive patterns like
+
+    (?s supplies ?p) (?p ships_in ?o)
+
+Spark-first design: a BGP is a chain of equi-joins, one per triple
+pattern, joined on the variables the new pattern shares with the bindings
+accumulated so far. We express exactly that with DataFrame joins and let
+Catalyst/AQE pick the physical strategy per hop:
+
+- the `pred` constant of each pattern is a pushed-down filter on the
+  triple scan (partition/row-group pruning when the triple table is
+  written partitioned by pred — see plans/catalog.py sinks);
+- each hop is ONE shuffle hash/sort-merge equi-join on the shared
+  variable(s); consecutive hops that share a variable reuse the shuffle
+  partitioning (Exchange reuse), and AQE's skew-join splits hub entities
+  (high-degree nodes) at runtime;
+- a hop whose filtered triple side is small (rare predicate) is
+  broadcast by AQE's size estimate — no hint needed, so a hub-heavy
+  pattern can never accidentally broadcast a huge side.
+
+At 100 TB the triple table is the SMALL artifact (orders of magnitude
+below the page corpus); worst case for a hop is a hub join, which is the
+canonical AQE-skew shape. No driver-side iteration: the whole pattern
+compiles to one lazy plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _is_var(term: str) -> bool:
+    return term.startswith("?")
+
+
+def match_pattern(
+    triples: DataFrame,
+    pattern: Sequence[tuple[str, str, str]],
+    distinct: bool = True,
+) -> DataFrame:
+    """Match a conjunctive triple pattern against a (subj, pred, obj)
+    DataFrame; return one row per variable binding.
+
+    `pattern` is a sequence of (s, p, o) terms. `p` must be a constant
+    predicate string; `s`/`o` are either variables ("?name") or constant
+    entity ids (filtered at the scan). Every pattern after the first must
+    share at least one variable with the patterns before it (no cartesian
+    hops — a disconnected BGP is almost always a query bug, and at scale
+    it is a cross-join explosion; raise instead).
+
+    Output columns are the variable names without the "?" sigil, in first-
+    appearance order. With distinct=True (default) duplicate bindings
+    collapse — the BGP set-semantics — via one hash aggregate on the
+    binding row; Catalyst pushes a partial aggregate before the final
+    exchange so hub-fanout duplicates combine map-side.
+    """
+    if not pattern:
+        raise ValueError("empty pattern")
+    bound: list[str] = []
+    out: DataFrame | None = None
+    for s, p, o in pattern:
+        if _is_var(p):
+            raise ValueError(f"predicate must be constant, got {p!r}")
+        hop = triples.filter(F.col("pred") == p)
+        cols = []
+        hop_vars = []
+        for term, col in ((s, "subj"), (o, "obj")):
+            if _is_var(term):
+                name = term[1:]
+                if not name:
+                    raise ValueError(f"bad variable {term!r}")
+                cols.append(F.col(col).alias(name))
+                hop_vars.append(name)
+            else:
+                hop = hop.filter(F.col(col) == term)
+        if len(hop_vars) == 2 and hop_vars[0] == hop_vars[1]:
+            # (?x p ?x): self-loop — a filter, one output column
+            hop = hop.filter(F.col("subj") == F.col("obj"))
+            cols, hop_vars = cols[:1], hop_vars[:1]
+        hop = hop.select(*cols) if cols else hop.select(F.lit(1).alias("__hit"))
+        if out is None:
+            out = hop if cols else hop.limit(1)
+            bound = hop_vars
+            continue
+        shared = [v for v in hop_vars if v in bound]
+        if not hop_vars:
+            # fully-constant pattern: existence check (keeps bindings iff
+            # the triple exists) — broadcast semi-join on a 0/1-row side
+            out = out.join(F.broadcast(hop.limit(1)), how="cross")  # noqa: not a data cross — 1-row guard
+            continue
+        if not shared:
+            raise ValueError(
+                f"disconnected pattern ({s}, {p}, {o}): shares no variable "
+                f"with {bound} — cartesian hops are refused"
+            )
+        out = out.join(hop, on=shared, how="inner")
+        bound += [v for v in hop_vars if v not in bound]
+    assert out is not None
+    out = out.select(*bound)
+    return out.distinct() if distinct else out

@@ -298,6 +298,55 @@ FROM trip GROUP BY subj, pred, obj
 """
 
 
+@query("kg_pattern")
+def kg_pattern(spark, sf_dir):
+    """Downstream KG-query surface (new r6): a 2-hop basic graph pattern
+    (?s supplies ?p)(?p ships_in ?o) matched by operators/kg_query.
+    match_pattern over the engine's triple shape — heterogeneous edges
+    supplier -supplies-> part -ships_in-> order derived from lineitem —
+    then bindings aggregated to per-supplier reach (distinct orders
+    reachable in 2 hops) and distinct-path count. Each hop's pred filter
+    prunes the union branch at plan time; the hop join + final agg are the
+    plan's only exchanges."""
+    from ..operators.kg_query import match_pattern
+
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
+        F.lit("supplies").alias("pred"),
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("subj"),
+        F.lit("ships_in").alias("pred"),
+        F.concat(F.lit("O"), F.col("l_orderkey")).alias("obj"),
+    )
+    triples = e1.unionByName(e2).distinct()
+    bind = match_pattern(
+        triples, [("?s", "supplies", "?p"), ("?p", "ships_in", "?o")]
+    )
+    return bind.groupBy(F.col("s").alias("supplier")).agg(
+        F.countDistinct("o").alias("reach"),
+        F.count(F.lit(1)).alias("n_paths"),
+    )
+
+ORACLES["kg_pattern"] = """
+WITH e1 AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'P' || CAST(l_partkey AS VARCHAR) AS p
+  FROM lineitem
+), e2 AS (
+  SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS p,
+                  'O' || CAST(l_orderkey AS VARCHAR) AS o
+  FROM lineitem
+)
+SELECT e1.s AS supplier, count(DISTINCT e2.o) AS reach,
+       count(*) AS n_paths
+FROM e1 JOIN e2 ON e1.p = e2.p
+GROUP BY e1.s
+"""
+
+
 @query("minhash_sig")
 def minhash_sig(spark, sf_dir):
     """MinHash signatures over surface shingles (xxhash64 family ->

@@ -182,20 +182,6 @@ WHERE vec_id < 50
 """
 
 
-@query("binary_meta")
-def binary_meta(spark, sf_dir):
-    """Binary-column handling: byte length + md5 of the encoded payload
-    (the multimodal-metadata pattern on an opaque binary column)."""
-    d = _t(spark, sf_dir, "documents")
-    blob = F.encode(F.col("text"), "UTF-8")
-    return d.select(
-        "doc_id",
-        F.length(blob).cast("bigint").alias("n_bytes"),
-        F.md5(blob).alias("payload_md5"),
-    )
-
-ORACLES["binary_meta"] = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents
-"""
+# binary_meta (byte length + md5 over an opaque binary column) merged into
+# mm_meta round 6 — the blob rows still execute there, tagged
+# kind='application/octet-stream' (see plans/q_text.py).

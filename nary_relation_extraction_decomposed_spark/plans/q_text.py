@@ -307,16 +307,38 @@ def mm_meta(spark, sf_dir):
     recomputing the planted values arithmetically. Image rows NULL their
     audio/video fields and vice versa (the operator backfills unparsed
     image fields from the stub decoder — that seam stays rows-only in
-    mm_features)."""
+    mm_features).
+
+    Merged round 6 (the r2 agg_stats / r5 filter_regex idiom, freeing a
+    driver-window slot for kg_pattern): the former `binary_meta` key's
+    opaque-blob rows — byte length + md5 of the UTF-8 payload, all
+    JVM-side — run here too, tagged kind='application/octet-stream' and
+    unioned; container rows NULL payload_md5 (their bytes are not
+    reconstructable in ANSI SQL), blob rows NULL the parsed header
+    fields."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     feats = extract_media_features(synthetic_media(d), fake_decode=True)
     is_img = F.col("kind").startswith("image/")
-    return feats.select(
+    containers = feats.select(
         "media_id", "kind", "n_bytes", "magic",
         F.when(is_img, F.col("width")).alias("width"),
         F.when(is_img, F.col("height")).alias("height"),
         "sample_rate", "duration_ms",
+        F.lit(None).cast("string").alias("payload_md5"),
     )
+    blob = F.encode(F.col("text"), "UTF-8")
+    blobs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("application/octet-stream").alias("kind"),
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("string").alias("magic"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.md5(blob).alias("payload_md5"),
+    )
+    return containers.unionByName(blobs)
 
 ORACLES["mm_meta"] = """
 SELECT doc_id AS media_id,
@@ -342,8 +364,18 @@ SELECT doc_id AS media_id,
             WHEN m = 4 THEN
               (60 * (1 + doc_id % 1000) * 1000)
                 // (600 + (doc_id % 3) * 200)
-            END AS INTEGER) AS duration_ms
+            END AS INTEGER) AS duration_ms,
+       CAST(NULL AS VARCHAR) AS payload_md5
 FROM (SELECT doc_id, doc_id % 5 AS m FROM documents) t
+UNION ALL
+SELECT doc_id AS media_id, 'application/octet-stream' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(NULL AS VARCHAR) AS magic,
+       CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+       CAST(NULL AS INTEGER) AS sample_rate,
+       CAST(NULL AS INTEGER) AS duration_ms,
+       md5(text) AS payload_md5
+FROM documents
 """
 
 
@@ -351,7 +383,8 @@ FROM (SELECT doc_id, doc_id % 5 AS m FROM documents) t
 def mm_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> metadata + stub features via
     mapInPandas (Python-side stub decode -> rows-only check; the pure-SQL
-    binary metadata twin is `binary_meta`). The raw array<double> `feat`
+    binary metadata twin lives in `mm_meta`'s blob rows since r6). The
+    raw array<double> `feat`
     column is projected through to_json for the driver's rows-only
     canonicalizer (pandas sort_values dies on list cells); internal
     consumers use extract_media_features directly for the raw arrays."""

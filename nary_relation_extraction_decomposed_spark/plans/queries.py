@@ -48,6 +48,9 @@ KEY_ORDER = (
     "decompose_nary",
     "rejoin_triples",
     "rejoin_nary4",
+    # downstream KG-query surface (new r6; slot freed by folding
+    # binary_meta into mm_meta)
+    "kg_pattern",
     "conn_comp",
     "canonicalize",
     # --- streaming-window surface (rows 47-49, batch-window twins) ---
@@ -73,6 +76,8 @@ KEY_ORDER = (
     "dedup_simhash_pairs",
     # --- scalar-function surface (rows 38-46) ---
     "str_norm",
+    # binary_meta folded into mm_meta r6 (blob rows still execute there,
+    # tagged by kind)
     "mm_meta",
     "date_trunc",
     "salt_key",
@@ -80,7 +85,6 @@ KEY_ORDER = (
     "map_metrics",
     "json_props",
     "explode_mentions",
-    "binary_meta",
     # --- relational surface (rows 8-37) ---
     "project_basic",
     # filter_lang + regex_filter merged r5 (both filters still run, tagged)

@@ -1,0 +1,128 @@
+"""Semantics of operators/kg_query.match_pattern (the BGP query surface).
+
+The kg_pattern driver key value-checks a 2-hop pattern against DuckDB at
+sf0.01; these tests pin the operator's SEMANTICS on a hand-built KG where
+every expected binding is enumerable by eye: chains, constants in subject
+and object position, existence-only patterns, self-loops, bag-vs-set
+output, and the refusal of disconnected (cartesian) patterns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nary_relation_extraction_decomposed_spark.operators.kg_query import match_pattern
+
+TRIPLES = [
+    # a small org KG: person -works_at-> org -in_city-> city
+    ("alice", "works_at", "acme"),
+    ("bob", "works_at", "acme"),
+    ("carol", "works_at", "globex"),
+    ("acme", "in_city", "berlin"),
+    ("globex", "in_city", "paris"),
+    ("dave", "knows", "alice"),
+    ("dave", "knows", "dave"),  # self-loop
+    # duplicate row: set-semantics must collapse it
+    ("alice", "works_at", "acme"),
+]
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string, obj string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_two_hop_chain(kg):
+    out = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("?o", "in_city", "?c")]
+    )
+    assert out.columns == ["p", "o", "c"]
+    assert _rows(out) == [
+        ("alice", "acme", "berlin"),
+        ("bob", "acme", "berlin"),
+        ("carol", "globex", "paris"),
+    ]
+
+
+def test_constant_subject_and_object(kg):
+    out = match_pattern(kg, [("?p", "works_at", "acme")])
+    assert _rows(out) == [("alice",), ("bob",)]
+    out2 = match_pattern(
+        kg, [("dave", "knows", "?x"), ("?x", "works_at", "?o")]
+    )
+    assert _rows(out2) == [("alice", "acme")]
+
+
+def test_three_hop_with_branch_variable_reuse(kg):
+    # coworkers: two people at the same org (includes the trivial pair)
+    out = match_pattern(
+        kg, [("?a", "works_at", "?o"), ("?b", "works_at", "?o")]
+    )
+    rows = _rows(out)
+    assert ("alice", "acme", "bob") in rows
+    assert ("bob", "acme", "alice") in rows
+    assert ("carol", "globex", "carol") in rows
+    assert all(o != "paris" or a == "carol" for a, o, _ in rows)
+
+
+def test_self_loop_pattern(kg):
+    out = match_pattern(kg, [("?x", "knows", "?x")])
+    assert out.columns == ["x"]
+    assert _rows(out) == [("dave",)]
+
+
+def test_existence_guard_constant_pattern(kg):
+    # fully-constant pattern keeps bindings iff the triple exists
+    out = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("acme", "in_city", "berlin")]
+    )
+    assert len(_rows(out)) == 3
+    out2 = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("acme", "in_city", "paris")]
+    )
+    assert _rows(out2) == []
+
+
+def test_duplicate_bindings_collapse_and_bag_mode(kg):
+    out = match_pattern(kg, [("?p", "works_at", "?o")])
+    assert len(_rows(out)) == 3  # alice dup collapsed
+    bag = match_pattern(kg, [("?p", "works_at", "?o")], distinct=False)
+    assert len(bag.collect()) == 4
+
+
+def test_disconnected_pattern_refused(kg):
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(kg, [("?a", "works_at", "?o"), ("?x", "knows", "?y")])
+
+
+def test_variable_predicate_refused(kg):
+    with pytest.raises(ValueError, match="predicate"):
+        match_pattern(kg, [("?a", "?p", "?b")])
+
+
+def test_empty_pattern_refused(kg):
+    with pytest.raises(ValueError, match="empty"):
+        match_pattern(kg, [])
+
+
+def test_hop_plan_prunes_union_branch(kg, spark):
+    """The pred filter must reach each union branch at plan time: a 1-hop
+    pattern over a union-of-two-predicates table should scan only one
+    side (no Union node survives in the optimized plan)."""
+    import pyspark.sql.functions as F
+
+    # literal pred per branch, as the kg_pattern driver key builds its
+    # edge union — the hop filter constant-folds one branch away
+    e1 = kg.filter(F.col("pred") == "works_at").select(
+        "subj", F.lit("works_at").alias("pred"), "obj"
+    )
+    e2 = kg.filter(F.col("pred") == "in_city").select(
+        "subj", F.lit("in_city").alias("pred"), "obj"
+    )
+    out = match_pattern(e1.unionByName(e2), [("?a", "in_city", "?b")])
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
