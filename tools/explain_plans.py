@@ -31,6 +31,7 @@ CASES = [
     ("mm_meta", "round 4: synthetic media containers built ENTIRELY JVM-side (binary literals + hex/unhex/concat in the project — no Python before the single mapInPandas metadata pass)"),
     ("ann_lsh", "round 5: hyperplane signer recompiled to posexplode + ONE HashAggregate of n_tables*n_planes codegen'd conditional sums — the SIGNATURE side has zero interpreted aggregate/zip_with lambdas (the only ones left in the plan are the rerank's per-id norms and ONE dot per deduped candidate, down from 3 interpreted walks per raw candidate); candidate dedup exchanges (q_id, n_id) pairs ONLY — the 64-dim vectors re-attach AFTER the dedup; round 6: under-partitioned inputs get an explicit REPARTITION_BY_COL before the signature stage (AQE-coalesce-exempt — a single-split scan no longer single-threads the agg), and the deduped candidate ids repartition by q_id so the interpreted-cosine rerank runs full-width and the top-k window reuses the clustering"),
     ("dedup_minhash_pairs", "round 5: pair generation from the committed signature fixture — single groupBy(band,bucket) shuffle, deterministic slice() truncation visible in the aggregate's project, in-array pair expansion (no self-join)"),
+    ("kg_pattern", "round 6: BGP hop compilation — each pattern's pred filter constant-folds the other edge-union branch away (no Union in the plan, each hop scans only its edge set), ONE shuffle equi-join on the shared variable, set-semantics dedup + final agg partial-aggregated map-side"),
 ]
 
 
