@@ -569,6 +569,9 @@ def main() -> None:
 
         run("ann_topk", "ann_topk")
         run("win_session", "win_session")
+        # downstream KG-query surface (r6): 2-hop BGP over a ~1.2M-edge
+        # triple table — hop join + set-semantics dedup under AQE
+        run("kg_pattern", "kg_pattern")
 
     steal_vals = list(entry_steal.values())
     total = round(sum(timings.values()), 3)

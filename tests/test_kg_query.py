@@ -126,3 +126,83 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     out = match_pattern(e1.unionByName(e2), [("?a", "in_city", "?b")])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan
+
+
+def _ref_match(triples, pattern):
+    """Brute-force conjunctive-query evaluation (pure Python, set
+    semantics): the executable spec match_pattern must agree with."""
+    sols = [dict()]
+    for s, p, o in pattern:
+        nxt = []
+        for b in sols:
+            for ts, tp, to in set(triples):
+                if tp != p:
+                    continue
+                nb, ok = dict(b), True
+                for term, val in ((s, ts), (o, to)):
+                    if term.startswith("?"):
+                        k = term[1:]
+                        if nb.get(k, val) != val:
+                            ok = False
+                            break
+                        nb[k] = val
+                    elif term != val:
+                        ok = False
+                        break
+                if ok:
+                    nxt.append(nb)
+        sols = nxt
+    order = []
+    for s, _, o in pattern:
+        for t in (s, o):
+            if t.startswith("?") and t[1:] not in order:
+                order.append(t[1:])
+    return sorted({tuple(b[v] for v in order) for b in sols})
+
+
+def test_match_pattern_equals_bruteforce_on_random_kgs(spark):
+    """Property (hypothesis, derandomized): on random tiny KGs and random
+    CONNECTED chain patterns — fresh vars, back-references to earlier vars
+    (cycles), and constant objects — match_pattern's distinct bindings
+    must equal brute-force conjunctive-query evaluation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ents = ["a", "b", "c", "d"]
+    preds = ["p", "q"]
+    triple = st.tuples(
+        st.sampled_from(ents), st.sampled_from(preds), st.sampled_from(ents)
+    )
+    kg = st.lists(triple, min_size=1, max_size=14)
+    # each hop: (pred, object kind) where kind 0 = fresh var, 1 = reuse an
+    # earlier var (cycle), 2 = constant entity
+    hop = st.tuples(
+        st.sampled_from(preds),
+        st.integers(min_value=0, max_value=2),
+        st.sampled_from(ents),
+    )
+    chain = st.lists(hop, min_size=1, max_size=3)
+
+    @settings(max_examples=8, deadline=None)
+    @given(kg, chain)
+    def check(triples, hops):
+        pattern = []
+        prev = "?v0"
+        fresh = 1
+        for pred, okind, const in hops:
+            if okind == 0:
+                obj = f"?v{fresh}"
+                fresh += 1
+            elif okind == 1:
+                obj = "?v0"
+            else:
+                obj = const
+            pattern.append((prev, pred, obj))
+            prev = obj if obj.startswith("?") else "?v0"
+        df = spark.createDataFrame(
+            triples, "subj string, pred string, obj string"
+        )
+        got = sorted(tuple(r) for r in match_pattern(df, pattern).collect())
+        assert got == _ref_match(triples, pattern)
+
+    check()
