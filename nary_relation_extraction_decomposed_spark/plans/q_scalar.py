@@ -120,7 +120,14 @@ FROM documents WHERE length(text) >= 10
 
 @query("map_metrics")
 def map_metrics(spark, sf_dir):
-    """Map construction + explode (per-partition metrics map pattern)."""
+    """Map construction + explode (per-partition metrics map pattern).
+
+    Merged round 6 (the established tagged-union idiom, freeing a
+    driver-window slot for sample_strat): the former `json_props` key's
+    JSON-extraction rows — get_json_object string + bigint casts over the
+    events props column — run here too, tagged kind='json' with
+    id = event_id; the map-explode rows are tagged kind='map' with
+    id = lang. Both original operators still execute."""
     d = _t(spark, sf_dir, "documents")
     agg = d.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("n_chars")
@@ -132,33 +139,64 @@ def map_metrics(spark, sf_dir):
             F.lit("n_chars"), F.col("n_chars"),
         ).alias("metrics"),
     )
-    return m.select("lang", F.explode("metrics").alias("metric", "value"))
+    maps = m.select(
+        F.lit("map").alias("kind"),
+        F.col("lang").alias("id"),
+        F.explode("metrics").alias("k_str", "k_num"),
+    )
+    e = _t(spark, sf_dir, "events")
+    jsons = e.select(
+        F.lit("json").alias("kind"),
+        F.col("event_id").cast("string").alias("id"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+    return maps.unionByName(jsons)
 
 ORACLES["map_metrics"] = """
 WITH agg AS (
   SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
   FROM documents GROUP BY lang
 )
-SELECT lang, 'n_docs' AS metric, n_docs AS value FROM agg
+SELECT 'map' AS kind, lang AS id, 'n_docs' AS k_str, n_docs AS k_num FROM agg
 UNION ALL
-SELECT lang, 'n_chars' AS metric, n_chars AS value FROM agg
+SELECT 'map', lang, 'n_chars', n_chars FROM agg
+UNION ALL
+SELECT 'json', CAST(event_id AS VARCHAR),
+       json_extract_string(props, '$.k'),
+       CAST(json_extract_string(props, '$.k') AS BIGINT)
+FROM events
 """
 
 
-@query("json_props")
-def json_props(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
-    )
+@query("sample_strat")
+def sample_strat(spark, sf_dir):
+    """Deterministic stratified sampling (new r6; training-data mixture
+    curation): per-lang rates via operators/sampling.sample_stratified —
+    keep iff the 8-hex md5(salt:doc_id) prefix sorts below the stratum's
+    threshold. Pure row function: retry/AQE/partitioning-invariant where
+    df.sample() is not, zero shuffle, nested across rate increases. The
+    DuckDB oracle recomputes the identical md5 rule, so the SELECTED ROW
+    SET (not just its size) is value-checked cross-engine."""
+    from ..operators.sampling import sample_stratified
 
-ORACLES["json_props"] = """
-SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
-FROM events
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 1.0}  # zh -> default 0
+    return sample_stratified(
+        d.select("doc_id", "lang"),
+        key=F.col("doc_id"),
+        stratum=F.col("lang"),
+        rates=rates,
+        salt="s42",
+    ).select("doc_id", "lang")
+
+ORACLES["sample_strat"] = """
+SELECT doc_id, lang
+FROM documents
+WHERE substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+                WHEN 'fr' THEN '20000000' WHEN 'es' THEN 'g'
+                ELSE '00000000' END
 """
 
 

@@ -74,6 +74,9 @@ KEY_ORDER = (
     # rows-only — see ROWS_ONLY_KEYS)
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    # deterministic stratified sampling (new r6; slot freed by folding
+    # json_props into map_metrics)
+    "sample_strat",
     # --- scalar-function surface (rows 38-46) ---
     "str_norm",
     # binary_meta folded into mm_meta r6 (blob rows still execute there,
@@ -82,8 +85,9 @@ KEY_ORDER = (
     "date_trunc",
     "salt_key",
     "arr_shingle",
+    # json_props folded into map_metrics r6 (JSON rows still execute
+    # there, tagged kind='json')
     "map_metrics",
-    "json_props",
     "explode_mentions",
     # --- relational surface (rows 8-37) ---
     "project_basic",
