@@ -60,11 +60,19 @@ def match_pattern(
     collapse — the BGP set-semantics — via one hash aggregate on the
     binding row; Catalyst pushes a partial aggregate before the final
     exchange so hub-fanout duplicates combine map-side.
+
+    Fully-constant patterns are existence GUARDS: they keep the bindings
+    iff the triple exists. Guards are collected and applied LAST as
+    broadcast left-semi joins against a 1-row side, so they are
+    position-independent (a guard-first conjunction is the same query as
+    a guard-last one) and add no columns. A pattern that binds no
+    variable at all is refused — use a direct filter for a pure ASK.
     """
     if not pattern:
         raise ValueError("empty pattern")
     bound: list[str] = []
     out: DataFrame | None = None
+    guards: list[DataFrame] = []
     for s, p, o in pattern:
         if _is_var(p):
             raise ValueError(f"predicate must be constant, got {p!r}")
@@ -84,17 +92,14 @@ def match_pattern(
             # (?x p ?x): self-loop — a filter, one output column
             hop = hop.filter(F.col("subj") == F.col("obj"))
             cols, hop_vars = cols[:1], hop_vars[:1]
-        hop = hop.select(*cols) if cols else hop.select(F.lit(1).alias("__hit"))
+        if not hop_vars:
+            guards.append(hop.limit(1))
+            continue
+        hop = hop.select(*cols)
         if out is None:
-            out = hop if cols else hop.limit(1)
-            bound = hop_vars
+            out, bound = hop, hop_vars
             continue
         shared = [v for v in hop_vars if v in bound]
-        if not hop_vars:
-            # fully-constant pattern: existence check (keeps bindings iff
-            # the triple exists) — broadcast semi-join on a 0/1-row side
-            out = out.join(F.broadcast(hop.limit(1)), how="cross")  # noqa: not a data cross — 1-row guard
-            continue
         if not shared:
             raise ValueError(
                 f"disconnected pattern ({s}, {p}, {o}): shares no variable "
@@ -102,6 +107,12 @@ def match_pattern(
             )
         out = out.join(hop, on=shared, how="inner")
         bound += [v for v in hop_vars if v not in bound]
-    assert out is not None
+    if out is None:
+        raise ValueError(
+            "pattern binds no variables (every pattern is a constant "
+            "existence check) — filter the triple table directly instead"
+        )
+    for g in guards:
+        out = out.join(F.broadcast(g), F.lit(True), "left_semi")
     out = out.select(*bound)
     return out.distinct() if distinct else out

@@ -306,8 +306,10 @@ def kg_pattern(spark, sf_dir):
     supplier -supplies-> part -ships_in-> order derived from lineitem —
     then bindings aggregated to per-supplier reach (distinct orders
     reachable in 2 hops) and distinct-path count. Each hop's pred filter
-    prunes the union branch at plan time; the hop join + final agg are the
-    plan's only exchanges."""
+    prunes the union branch at plan time, so each hop scans only its own
+    edge set; the exchanges are the per-branch triple dedups, the binding
+    dedup, and the two-phase countDistinct agg — the hop join itself
+    broadcasts at this scale (see BENCH/PLANS.md § kg_pattern)."""
     from ..operators.kg_query import match_pattern
 
     li = _t(spark, sf_dir, "lineitem")

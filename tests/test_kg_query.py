@@ -66,7 +66,9 @@ def test_three_hop_with_branch_variable_reuse(kg):
     assert ("alice", "acme", "bob") in rows
     assert ("bob", "acme", "alice") in rows
     assert ("carol", "globex", "carol") in rows
-    assert all(o != "paris" or a == "carol" for a, o, _ in rows)
+    # only carol works at globex, so every globex row pairs carol with carol
+    assert all(a == "carol" and b == "carol"
+               for a, o, b in rows if o == "globex")
 
 
 def test_self_loop_pattern(kg):
@@ -85,6 +87,29 @@ def test_existence_guard_constant_pattern(kg):
         kg, [("?p", "works_at", "?o"), ("acme", "in_city", "paris")]
     )
     assert _rows(out2) == []
+
+
+def test_existence_guard_is_position_independent(kg):
+    # guard FIRST must give the same result as guard last (same BGP)
+    first = match_pattern(
+        kg, [("acme", "in_city", "berlin"), ("?p", "works_at", "?o")]
+    )
+    last = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("acme", "in_city", "berlin")]
+    )
+    assert _rows(first) == _rows(last)
+    assert len(_rows(first)) == 3
+    # guards add no columns even when a variable is literally named like
+    # an internal would be
+    named = match_pattern(
+        kg, [("?__hit", "works_at", "?o"), ("acme", "in_city", "berlin")]
+    )
+    assert named.columns == ["__hit", "o"]
+
+
+def test_all_guard_pattern_refused(kg):
+    with pytest.raises(ValueError, match="binds no variables"):
+        match_pattern(kg, [("acme", "in_city", "berlin")])
 
 
 def test_duplicate_bindings_collapse_and_bag_mode(kg):
