@@ -116,3 +116,57 @@ def match_pattern(
         out = out.join(F.broadcast(g), F.lit(True), "left_semi")
     out = out.select(*bound)
     return out.distinct() if distinct else out
+
+
+def reach_pairs(
+    triples: DataFrame,
+    pred: str,
+    max_hops: int,
+    early_stop: bool = True,
+) -> DataFrame:
+    """Bounded property-path reachability (SPARQL `pred{1,k}`): all
+    (src, dst, min_hops) pairs connected by 1..max_hops `pred` edges.
+
+    Semi-naive (frontier/delta) evaluation — the Datalog TC idiom that
+    scales: each round joins only the pairs DISCOVERED LAST ROUND against
+    the edge set, then anti-joins the accumulated result so a pair is
+    expanded exactly once, at its minimum hop count. Rounds are shuffle
+    equi-joins keyed on the frontier's dst / edge src; the accumulator
+    and frontier are lineage-truncated every round with localCheckpoint
+    (the iterative-DataFrame pitfall, same as connected_components).
+    With early_stop (default) a round that discovers nothing ends the
+    loop — one count() action per round, the same driver-side convergence
+    check the CC operator documents. Self-loops are real 1-hop edges
+    (a -pred-> a yields (a, a, 1)).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    edges = (
+        triples.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    paths = edges.withColumn("min_hops", F.lit(1))
+    frontier = paths
+    for hop in range(2, max_hops + 1):
+        if early_stop and frontier.isEmpty():
+            break
+        step = (
+            frontier.join(
+                edges.select(
+                    F.col("src").alias("dst"), F.col("dst").alias("nxt")
+                ),
+                on="dst",
+            )
+            .select("src", F.col("nxt").alias("dst"))
+            .distinct()
+        )
+        new = (
+            step.join(paths, on=["src", "dst"], how="left_anti")
+            .withColumn("min_hops", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        paths = paths.unionByName(new).localCheckpoint(eager=False)
+        frontier = new
+    return paths

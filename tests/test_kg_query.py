@@ -153,6 +153,97 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     assert "Union" not in plan
 
 
+def test_reach_pairs_chain_cycle_diamond(spark):
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        reach_pairs,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"),  # chain
+         ("x", "p", "y"), ("y", "p", "x"),                    # 2-cycle
+         ("d1", "p", "d2"), ("d1", "p", "d3"),                # diamond
+         ("d2", "p", "d4"), ("d3", "p", "d4"),
+         ("s", "p", "s"),                                     # self-loop
+         ("a", "q", "zzz")],                                  # other pred
+        "subj string, pred string, obj string",
+    )
+    got = {(r.src, r.dst): r.min_hops for r in reach_pairs(t, "p", 3).collect()}
+    assert got[("a", "b")] == 1 and got[("a", "c")] == 2 and got[("a", "d")] == 3
+    assert ("a", "zzz") not in got  # pred-filtered
+    assert got[("x", "x")] == 2 and got[("y", "y")] == 2  # cycle closes
+    assert got[("d1", "d4")] == 2  # diamond: min over two paths
+    assert got[("s", "s")] == 1  # self-loop is a real 1-hop edge
+    # bounded: max_hops=2 must not contain the 3-hop pair
+    got2 = {(r.src, r.dst) for r in reach_pairs(t, "p", 2).collect()}
+    assert ("a", "d") not in got2 and ("a", "c") in got2
+
+
+def test_reach_pairs_early_stop_equals_exhaustive(spark):
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        reach_pairs,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    fast = sorted(map(tuple, reach_pairs(t, "p", 50).collect()))
+    slow = sorted(map(tuple, reach_pairs(t, "p", 50, early_stop=False).collect()))
+    assert fast == slow == [("a", "b", 1), ("a", "c", 2), ("b", "c", 1)]
+
+    with pytest.raises(ValueError, match="max_hops"):
+        reach_pairs(t, "p", 0)
+
+
+def test_reach_pairs_equals_bfs_on_random_digraphs(spark):
+    """Property (hypothesis, derandomized): reach_pairs == per-source BFS
+    min-hop distances (bounded) on random small digraphs."""
+    from collections import deque
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        reach_pairs,
+    )
+
+    nodes = list("abcdef")
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes))
+    graph = st.lists(edge, min_size=1, max_size=12)
+
+    def bfs_ref(edges, k):
+        adj = {}
+        for s, d in set(edges):
+            adj.setdefault(s, set()).add(d)
+        out = {}
+        for s in {e[0] for e in edges}:
+            seen = {}
+            dq = deque([(s, 0)])
+            while dq:
+                v, h = dq.popleft()
+                if h >= k:
+                    continue
+                for n in adj.get(v, ()):
+                    if n not in seen:
+                        seen[n] = h + 1
+                        dq.append((n, h + 1))
+            for d, h in seen.items():
+                out[(s, d)] = h
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(graph, st.integers(min_value=1, max_value=4))
+    def check(edges, k):
+        t = spark.createDataFrame(
+            [(s, "p", d) for s, d in edges],
+            "subj string, pred string, obj string",
+        )
+        got = {(r.src, r.dst): r.min_hops for r in reach_pairs(t, "p", k).collect()}
+        assert got == bfs_ref(edges, k)
+
+    check()
+
+
 def _ref_match(triples, pattern):
     """Brute-force conjunctive-query evaluation (pure Python, set
     semantics): the executable spec match_pattern must agree with."""
