@@ -123,6 +123,7 @@ def reach_pairs(
     pred: str,
     max_hops: int,
     early_stop: bool = True,
+    sources: Sequence[str] | None = None,
 ) -> DataFrame:
     """Bounded property-path reachability (SPARQL `pred{1,k}`): all
     (src, dst, min_hops) pairs connected by 1..max_hops `pred` edges.
@@ -137,7 +138,10 @@ def reach_pairs(
     With early_stop (default) a round that discovers nothing ends the
     loop — one count() action per round, the same driver-side convergence
     check the CC operator documents. Self-loops are real 1-hop edges
-    (a -pred-> a yields (a, a, 1)).
+    (a -pred-> a yields (a, a, 1)). `sources` restricts the SEED frontier
+    to those entities (single/multi-source BFS): every later round then
+    joins only the seeds' expanding reach against the edge set instead of
+    computing all-pairs and filtering after.
     """
     if max_hops < 1:
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
@@ -148,6 +152,8 @@ def reach_pairs(
         .localCheckpoint(eager=False)
     )
     paths = edges.withColumn("min_hops", F.lit(1))
+    if sources is not None:
+        paths = paths.filter(F.col("src").isin(list(sources)))
     frontier = paths
     for hop in range(2, max_hops + 1):
         if early_stop and frontier.isEmpty():

@@ -178,6 +178,24 @@ def test_reach_pairs_chain_cycle_diamond(spark):
     assert ("a", "d") not in got2 and ("a", "c") in got2
 
 
+def test_reach_pairs_seeded_sources(spark):
+    """sources= restricts the seed frontier: result == all-pairs result
+    filtered to those sources (semantics), computed seed-first (scale)."""
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        reach_pairs,
+    )
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c"), ("c", "p", "d"), ("z", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    seeded = sorted(map(tuple, reach_pairs(t, "p", 3, sources=["a"]).collect()))
+    full = sorted(
+        tuple(r) for r in reach_pairs(t, "p", 3).collect() if r.src == "a"
+    )
+    assert seeded == full == [("a", "b", 1), ("a", "c", 2), ("a", "d", 3)]
+
+
 def test_reach_pairs_early_stop_equals_exhaustive(spark):
     from nary_relation_extraction_decomposed_spark.operators.kg_query import (
         reach_pairs,
