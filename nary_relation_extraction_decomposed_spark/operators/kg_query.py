@@ -30,7 +30,9 @@ compiles to one lazy plan.
 
 from __future__ import annotations
 
+import shlex
 from collections.abc import Sequence
+from functools import reduce
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -38,6 +40,30 @@ from pyspark.sql import DataFrame
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
+
+
+def parse_pattern(text: str) -> list[tuple[str, str, str]]:
+    """Text form of a BGP: '.'-separated hops of three whitespace-separated
+    terms, '?'-prefixed terms are variables. Multi-word constants (the
+    normal shape of this pipeline's normalized entity ids, which map every
+    non-alphanumeric char to a space) are shell-quoted:
+
+        '?x supplies "acme corp" . "acme corp" in_city ?c'
+    """
+    pattern = []
+    for hop in text.split("."):
+        hop = hop.strip()
+        if not hop:
+            continue
+        terms = shlex.split(hop)
+        if len(terms) != 3:
+            raise ValueError(
+                f"each hop needs exactly 3 terms (subj pred obj), got {hop!r}"
+            )
+        pattern.append(tuple(terms))
+    if not pattern:
+        raise ValueError("empty pattern")
+    return pattern
 
 
 def match_pattern(
@@ -147,14 +173,21 @@ def reach_pairs(
         raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     edges = (
         triples.filter(F.col("pred") == pred)
+        # a null subj/obj cannot form an edge — and would defeat the
+        # (deliberately non-null-safe, hence fast) frontier anti-join
+        .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    paths = edges.withColumn("min_hops", F.lit(1))
+    seed = edges.withColumn("min_hops", F.lit(1))
     if sources is not None:
-        paths = paths.filter(F.col("src").isin(list(sources)))
-    frontier = paths
+        seed = seed.filter(F.col("src").isin(list(sources)))
+    # per-round DELTAS, each checkpointed once; the accumulator is their
+    # lazy union, so round r never REWRITES rounds 1..r-1's pairs (only
+    # the new delta materializes per round)
+    deltas = [seed]
+    frontier = seed
     for hop in range(2, max_hops + 1):
         if early_stop and frontier.isEmpty():
             break
@@ -168,11 +201,12 @@ def reach_pairs(
             .select("src", F.col("nxt").alias("dst"))
             .distinct()
         )
+        acc = reduce(lambda a, b: a.unionByName(b), deltas)
         new = (
-            step.join(paths, on=["src", "dst"], how="left_anti")
+            step.join(acc.select("src", "dst"), on=["src", "dst"], how="left_anti")
             .withColumn("min_hops", F.lit(hop))
             .localCheckpoint(eager=False)
         )
-        paths = paths.unionByName(new).localCheckpoint(eager=False)
+        deltas.append(new)
         frontier = new
-    return paths
+    return reduce(lambda a, b: a.unionByName(b), deltas)

@@ -196,6 +196,23 @@ def test_reach_pairs_seeded_sources(spark):
     assert seeded == full == [("a", "b", 1), ("a", "c", 2), ("a", "d", 3)]
 
 
+def test_reach_pairs_null_terms_cannot_form_edges(spark):
+    """Null subj/obj rows are dropped before the frontier loop (a null is
+    not an entity, and would defeat the non-null-safe anti-join dedup)."""
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        reach_pairs,
+    )
+
+    t = spark.createDataFrame(
+        [(None, "p", "b"), ("b", "p", "c"), ("c", "p", None), ("a", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, reach_pairs(t, "p", 4).collect()))
+    assert got == [("a", "b", 1), ("a", "c", 2), ("b", "c", 1)]
+    # exactly one row per (src, dst): the dedup held
+    assert len({(s, d) for s, d, _ in got}) == len(got)
+
+
 def test_reach_pairs_early_stop_equals_exhaustive(spark):
     from nary_relation_extraction_decomposed_spark.operators.kg_query import (
         reach_pairs,

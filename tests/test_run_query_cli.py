@@ -11,9 +11,10 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(REPO, "jobs"))
 
-from run_query import parse_pattern  # noqa: E402
+from nary_relation_extraction_decomposed_spark.operators.kg_query import (  # noqa: E402
+    parse_pattern,
+)
 
 
 def test_parse_pattern():
@@ -22,10 +23,16 @@ def test_parse_pattern():
         ("?p", "ships_in", "?o"),
     ]
     assert parse_pattern("alice works_at ?o") == [("alice", "works_at", "?o")]
+    # multi-word normalized entity ids are shell-quoted
+    assert parse_pattern('?x supplies "acme corp"') == [
+        ("?x", "supplies", "acme corp")
+    ]
     with pytest.raises(ValueError, match="3 terms"):
         parse_pattern("?a b")
     with pytest.raises(ValueError, match="empty"):
         parse_pattern(" . ")
+
+
 
 
 def test_run_query_cli_end_to_end(spark, tmp_path):
@@ -35,14 +42,19 @@ def test_run_query_cli_end_to_end(spark, tmp_path):
         "subj string, pred string, obj string, support bigint",
     ).write.parquet(triples_path)
 
-    def run(*extra):
+    def run(*extra, expect_rc=0):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "jobs", "run_query.py"),
              "--triples", triples_path, "--shuffle-partitions", "4", *extra],
             cwd=REPO, capture_output=True, text=True, timeout=300,
         )
-        assert out.returncode == 0, out.stderr[-2000:]
+        assert out.returncode == expect_rc, out.stderr[-2000:]
         return out.stdout
+
+    # reach-only flags with --pattern are an argparse error (not silently
+    # ignored), and it fails fast — before any Spark session spins up
+    run("--pattern", "?x p ?y", "--from", "a", expect_rc=2)
+    run("--pattern", "?x p ?y", "--max-hops", "2", expect_rc=2)
 
     pat_out = str(tmp_path / "ans_pat")
     stdout = run("--pattern", "?x p ?y . ?y q ?z", "--output", pat_out)
