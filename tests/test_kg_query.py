@@ -153,6 +153,30 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     assert "Union" not in plan
 
 
+def test_hop_partition_pruning_on_stored_triples(spark, kg, tmp_path):
+    """Over a triple table written by the catalog sink (partitionBy pred),
+    every BGP hop's pred filter must become a PARTITION filter — each hop
+    reads only its predicate's directory, the layout that keeps pattern
+    queries scan-bounded at 100 TB."""
+    from nary_relation_extraction_decomposed_spark.plans.catalog import (
+        write_triples_table,
+    )
+
+    path = str(tmp_path / "triples")
+    write_triples_table(kg, path)
+    stored = spark.read.parquet(path)
+    out = match_pattern(
+        stored, [("?p", "works_at", "?o"), ("?o", "in_city", "?c")]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("PartitionFilters: [isnotnull(pred") == 2
+    assert _rows(out) == [
+        ("alice", "acme", "berlin"),
+        ("bob", "acme", "berlin"),
+        ("carol", "globex", "paris"),
+    ]
+
+
 def test_reach_pairs_chain_cycle_diamond(spark):
     from nary_relation_extraction_decomposed_spark.operators.kg_query import (
         reach_pairs,
