@@ -32,6 +32,7 @@ from ..functions.text_metrics import quality_score_col
 from .connected_components import connected_components
 from .dedup import exact_dedup, minhash_dup_candidates
 from .sampling import sample_stratified
+from .similarity import _widen_if_narrow
 
 
 def curate_corpus(
@@ -48,17 +49,35 @@ def curate_corpus(
     """Run the 4-stage funnel; returns {'quality', 'exact', 'neardup',
     'sampled'} — each the surviving corpus after that stage ('sampled' is
     the final curated output)."""
+    # a single-split corpus scan would run the regex quality gate — and
+    # everything after it — on ONE core (the round-6 AQE/under-partition
+    # starvation pattern); widen up front, keyed by id
+    docs = _widen_if_narrow(docs, id_col)
+    # quality feeds BOTH the dedup-group build and the survivor semi-join;
+    # exact feeds BOTH the MinHash stage and the near-dup anti-join — each
+    # is lineage-truncated so one action executes the regex gate and the
+    # dedup chain once, not once per downstream reference (measured 2x
+    # wall on the 80k-doc scaling probe before truncation)
     quality = docs.filter(
         quality_score_col(F.col(text_col)) >= F.lit(min_quality)
-    )
+    ).localCheckpoint(eager=False)
 
     keep = exact_dedup(quality, id_col, F.col(text_col)).select(
         F.col("keep_id").alias(id_col)
     )
-    exact = quality.join(keep, on=id_col, how="left_semi")
+    exact = quality.join(keep, on=id_col, how="left_semi").localCheckpoint(
+        eager=False
+    )
 
+    # the semi-join's few-MB shuffle output is AQE-coalesced to one
+    # partition, which would single-thread the shingle-explode + 64-agg
+    # MinHash stage — the same starvation shape er.py fixed in round 6;
+    # the explicit exchange is AQE-exempt and id-clustered
     pairs = minhash_dup_candidates(
-        exact.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        _widen_if_narrow(
+            exact.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+            "id",
+        ),
         "id",
         F.col("t"),
         shingle_n=shingle_n,
