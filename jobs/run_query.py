@@ -41,6 +41,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--from", dest="src", default=None,
                     help="with --reach: seed the frontier at this entity "
                          "(single-source expansion, not post-filtering)")
+    ap.add_argument("--reorder", action="store_true",
+                    help="with --pattern: greedily reorder hops by "
+                         "estimated selectivity (one pred-histogram "
+                         "aggregate) before joining")
     ap.add_argument("--output", default=None, help="answer parquet path")
     ap.add_argument("--show", type=int, default=20)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -50,6 +54,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.pattern and (args.src is not None or args.max_hops is not None):
         ap.error("--from / --max-hops only apply to --reach "
                  "(constrain a pattern with constant terms instead)")
+    if args.reach and args.reorder:
+        ap.error("--reorder only applies to --pattern")
 
     from nary_relation_extraction_decomposed_spark.session import build_session
     from nary_relation_extraction_decomposed_spark.operators.kg_query import (
@@ -65,7 +71,9 @@ def main(argv: list[str] | None = None) -> None:
     triples = spark.read.parquet(args.triples)
     t0 = time.time()
     if args.pattern:
-        out = match_pattern(triples, parse_pattern(args.pattern))
+        out = match_pattern(
+            triples, parse_pattern(args.pattern), reorder=args.reorder
+        )
     else:
         out = reach_pairs(
             triples, args.reach,

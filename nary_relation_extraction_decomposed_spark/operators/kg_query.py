@@ -66,10 +66,63 @@ def parse_pattern(text: str) -> list[tuple[str, str, str]]:
     return pattern
 
 
+def _reorder_pattern(
+    triples: DataFrame, pattern: Sequence[tuple[str, str, str]]
+) -> list[tuple[str, str, str]]:
+    """Greedy selectivity ordering for a BGP: estimate each hop's size
+    from ONE tiny aggregate (the predicate vocabulary is small — a
+    groupBy('pred').count() collected to the driver), with constant
+    subj/obj terms treated as point lookups. Start from the cheapest
+    var-bearing hop, then repeatedly take the cheapest hop connected to
+    the variables bound so far — the textbook BGP join-ordering heuristic,
+    done at the logical level where Catalyst (no CBO stats on a derived
+    frame) won't reorder for us. Connectivity of a conjunction is
+    order-independent, so a pattern this cannot fully consume is
+    disconnected and is returned as-is for match_pattern to refuse with
+    its usual error. Guards (fully-constant hops) keep their relative
+    order at the end; they are deferred semi-joins either way."""
+    counts = {
+        r["pred"]: r["n"]
+        for r in triples.groupBy("pred").agg(F.count("*").alias("n")).collect()
+    }
+
+    def est(p: tuple[str, str, str]) -> float:
+        s, pred, o = p
+        n = float(counts.get(pred, 0))
+        if not _is_var(s):
+            n = min(n, 1.0)
+        if not _is_var(o):
+            n = min(n, 1.0)
+        return n
+
+    hops = [p for p in pattern if _is_var(p[0]) or _is_var(p[2])]
+    guards = [p for p in pattern if not (_is_var(p[0]) or _is_var(p[2]))]
+    if not hops:
+        return list(pattern)
+    remaining = list(hops)
+    first = min(remaining, key=est)
+    ordered = [first]
+    remaining.remove(first)
+    bound = {t[1:] for t in (first[0], first[2]) if _is_var(t)}
+    while remaining:
+        connected = [
+            p for p in remaining
+            if any(_is_var(t) and t[1:] in bound for t in (p[0], p[2]))
+        ]
+        if not connected:
+            return list(pattern)  # disconnected: let match_pattern raise
+        nxt = min(connected, key=est)
+        ordered.append(nxt)
+        remaining.remove(nxt)
+        bound |= {t[1:] for t in (nxt[0], nxt[2]) if _is_var(t)}
+    return ordered + guards
+
+
 def match_pattern(
     triples: DataFrame,
     pattern: Sequence[tuple[str, str, str]],
     distinct: bool = True,
+    reorder: bool = False,
 ) -> DataFrame:
     """Match a conjunctive triple pattern against a (subj, pred, obj)
     DataFrame; return one row per variable binding.
@@ -93,9 +146,22 @@ def match_pattern(
     position-independent (a guard-first conjunction is the same query as
     a guard-last one) and add no columns. A pattern that binds no
     variable at all is refused — use a direct filter for a pure ASK.
+
+    With reorder=True the hops are first greedily reordered by estimated
+    selectivity (_reorder_pattern: one pred-histogram aggregate) so the
+    cheapest connected hop joins first — bindings and output column order
+    are unchanged (a conjunction is commutative; columns follow the
+    CALLER's pattern order), only the join tree moves.
     """
     if not pattern:
         raise ValueError("empty pattern")
+    out_vars: list[str] = []
+    for s, _, o in pattern:
+        for t in (s, o):
+            if _is_var(t) and t[1:] and t[1:] not in out_vars:
+                out_vars.append(t[1:])
+    if reorder:
+        pattern = _reorder_pattern(triples, pattern)
     bound: list[str] = []
     out: DataFrame | None = None
     guards: list[DataFrame] = []
@@ -140,7 +206,7 @@ def match_pattern(
         )
     for g in guards:
         out = out.join(F.broadcast(g), F.lit(True), "left_semi")
-    out = out.select(*bound)
+    out = out.select(*out_vars)
     return out.distinct() if distinct else out
 
 

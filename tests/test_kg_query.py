@@ -153,6 +153,39 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     assert "Union" not in plan
 
 
+def test_reorder_preserves_bindings_and_column_order(kg):
+    pat = [("?p", "works_at", "?o"), ("?o", "in_city", "?c")]
+    plain = match_pattern(kg, pat)
+    opt = match_pattern(kg, pat, reorder=True)
+    assert opt.columns == plain.columns == ["p", "o", "c"]
+    assert _rows(opt) == _rows(plain)
+    # with a constant term and a guard mixed in
+    pat2 = [("?p", "works_at", "?o"), ("acme", "in_city", "berlin"),
+            ("dave", "knows", "?p")]
+    assert _rows(match_pattern(kg, pat2, reorder=True)) == _rows(
+        match_pattern(kg, pat2)
+    )
+
+
+def test_reorder_picks_selective_hop_first(kg):
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        _reorder_pattern,
+    )
+
+    # works_at has 4 rows, in_city 2, knows 2; a constant-term hop is a
+    # point lookup and must lead; guards stay last
+    pat = [("?p", "works_at", "?o"), ("?x", "knows", "?p"),
+           ("?o", "in_city", "berlin"), ("acme", "in_city", "berlin")]
+    ordered = _reorder_pattern(kg, pat)
+    assert ordered[0] == ("?o", "in_city", "berlin")  # est 1 (constant)
+    assert ordered[-1] == ("acme", "in_city", "berlin")  # guard last
+    # disconnected input is returned unchanged for the usual refusal
+    bad = [("?a", "works_at", "?o"), ("?x", "knows", "?y")]
+    assert _reorder_pattern(kg, bad) == bad
+    with pytest.raises(ValueError, match="disconnected"):
+        match_pattern(kg, bad, reorder=True)
+
+
 def test_hop_partition_pruning_on_stored_triples(spark, kg, tmp_path):
     """Over a triple table written by the catalog sink (partitionBy pred),
     every BGP hop's pred filter must become a PARTITION filter — each hop
@@ -379,5 +412,9 @@ def test_match_pattern_equals_bruteforce_on_random_kgs(spark):
         )
         got = sorted(tuple(r) for r in match_pattern(df, pattern).collect())
         assert got == _ref_match(triples, pattern)
+        reordered = sorted(
+            tuple(r) for r in match_pattern(df, pattern, reorder=True).collect()
+        )
+        assert reordered == got
 
     check()
