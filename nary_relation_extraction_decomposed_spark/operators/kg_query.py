@@ -123,6 +123,8 @@ def match_pattern(
     pattern: Sequence[tuple[str, str, str]],
     distinct: bool = True,
     reorder: bool = False,
+    optional: Sequence[tuple[str, str, str]] = (),
+    filters: Sequence = (),
 ) -> DataFrame:
     """Match a conjunctive triple pattern against a (subj, pred, obj)
     DataFrame; return one row per variable binding.
@@ -152,11 +154,19 @@ def match_pattern(
     cheapest connected hop joins first — bindings and output column order
     are unchanged (a conjunction is commutative; columns follow the
     CALLER's pattern order), only the join tree moves.
+
+    `optional` hops are SPARQL OPTIONAL: each left-joins on its shared
+    variables AFTER the required pattern, binding its new variables where
+    a matching triple exists and NULL where none does (rows are never
+    dropped). An optional hop must share a variable with the required
+    pattern and must bind at least one new variable. `filters` are
+    pyspark Column predicates over the variable columns, applied after
+    all joins (SPARQL FILTER) — e.g. F.col("city") != "berlin".
     """
     if not pattern:
         raise ValueError("empty pattern")
     out_vars: list[str] = []
-    for s, _, o in pattern:
+    for s, _, o in tuple(pattern) + tuple(optional):
         for t in (s, o):
             if _is_var(t) and t[1:] and t[1:] not in out_vars:
                 out_vars.append(t[1:])
@@ -166,28 +176,10 @@ def match_pattern(
     out: DataFrame | None = None
     guards: list[DataFrame] = []
     for s, p, o in pattern:
-        if _is_var(p):
-            raise ValueError(f"predicate must be constant, got {p!r}")
-        hop = triples.filter(F.col("pred") == p)
-        cols = []
-        hop_vars = []
-        for term, col in ((s, "subj"), (o, "obj")):
-            if _is_var(term):
-                name = term[1:]
-                if not name:
-                    raise ValueError(f"bad variable {term!r}")
-                cols.append(F.col(col).alias(name))
-                hop_vars.append(name)
-            else:
-                hop = hop.filter(F.col(col) == term)
-        if len(hop_vars) == 2 and hop_vars[0] == hop_vars[1]:
-            # (?x p ?x): self-loop — a filter, one output column
-            hop = hop.filter(F.col("subj") == F.col("obj"))
-            cols, hop_vars = cols[:1], hop_vars[:1]
+        hop, hop_vars = _hop(triples, s, p, o)
         if not hop_vars:
             guards.append(hop.limit(1))
             continue
-        hop = hop.select(*cols)
         if out is None:
             out, bound = hop, hop_vars
             continue
@@ -204,10 +196,80 @@ def match_pattern(
             "pattern binds no variables (every pattern is a constant "
             "existence check) — filter the triple table directly instead"
         )
+    for s, p, o in optional:
+        hop, hop_vars = _hop(triples, s, p, o)
+        shared = [v for v in hop_vars if v in bound]
+        new = [v for v in hop_vars if v not in bound]
+        if not shared or not new:
+            raise ValueError(
+                f"optional pattern ({s}, {p}, {o}) must share a bound "
+                f"variable AND bind a new one (shared={shared}, new={new})"
+            )
+        out = out.join(hop, on=shared, how="left")
+        bound += new
+    for f in filters:
+        out = out.filter(f)
     for g in guards:
         out = out.join(F.broadcast(g), F.lit(True), "left_semi")
     out = out.select(*out_vars)
     return out.distinct() if distinct else out
+
+
+def _hop(
+    triples: DataFrame, s: str, p: str, o: str
+) -> tuple[DataFrame, list[str]]:
+    """One triple pattern -> (frame of its variable columns, var names);
+    constants become filters; a fully-constant pattern returns no vars
+    (the caller treats it as an existence guard)."""
+    if _is_var(p):
+        raise ValueError(f"predicate must be constant, got {p!r}")
+    hop = triples.filter(F.col("pred") == p)
+    cols = []
+    hop_vars: list[str] = []
+    for term, col in ((s, "subj"), (o, "obj")):
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"bad variable {term!r}")
+            cols.append(F.col(col).alias(name))
+            hop_vars.append(name)
+        else:
+            hop = hop.filter(F.col(col) == term)
+    if len(hop_vars) == 2 and hop_vars[0] == hop_vars[1]:
+        # (?x p ?x): self-loop — a filter, one output column
+        hop = hop.filter(F.col("subj") == F.col("obj"))
+        cols, hop_vars = cols[:1], hop_vars[:1]
+    return (hop.select(*cols) if cols else hop), hop_vars
+
+
+def construct_triples(
+    bindings: DataFrame, template: Sequence[tuple[str, str, str]]
+) -> DataFrame:
+    """SPARQL CONSTRUCT: emit new (subj, pred, obj) rows from a bindings
+    frame (match_pattern output) through a template of terms — "?var"
+    references a binding column, anything else is a constant. One select
+    per template triple, unioned and deduped; rows where any referenced
+    variable is NULL (unmatched OPTIONAL) are dropped, per CONSTRUCT
+    semantics."""
+    if not template:
+        raise ValueError("empty template")
+
+    def term(t: str):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    parts = []
+    for s, p, o in template:
+        row = bindings.select(
+            term(s).alias("subj"), term(p).alias("pred"), term(o).alias("obj")
+        )
+        parts.append(
+            row.filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).distinct()
 
 
 def reach_pairs(

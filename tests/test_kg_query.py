@@ -153,6 +153,62 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     assert "Union" not in plan
 
 
+def test_optional_left_joins_and_nulls(kg):
+    out = match_pattern(
+        kg, [("?p", "works_at", "?o")],
+        optional=[("?x", "knows", "?p")],
+    )
+    assert out.columns == ["p", "o", "x"]
+    rows = _rows(out)
+    # dave knows alice -> bound; bob/carol have no knower -> NULL
+    assert ("alice", "acme", "dave") in rows
+    assert ("bob", "acme", None) in rows
+    assert ("carol", "globex", None) in rows
+    assert len(rows) == 3
+
+
+def test_optional_requires_shared_and_new_var(kg):
+    with pytest.raises(ValueError, match="optional"):
+        match_pattern(kg, [("?p", "works_at", "?o")],
+                      optional=[("?a", "knows", "?b")])  # no shared var
+    with pytest.raises(ValueError, match="optional"):
+        match_pattern(kg, [("?p", "works_at", "?o")],
+                      optional=[("?p", "knows", "?o")])  # no new var
+
+
+def test_filters_apply_after_joins(kg):
+    import pyspark.sql.functions as F
+
+    out = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("?o", "in_city", "?c")],
+        filters=[F.col("c") != "berlin"],
+    )
+    assert _rows(out) == [("carol", "globex", "paris")]
+
+
+def test_construct_emits_new_triples(kg):
+    from nary_relation_extraction_decomposed_spark.operators.kg_query import (
+        construct_triples,
+    )
+
+    bind = match_pattern(
+        kg, [("?p", "works_at", "?o"), ("?o", "in_city", "?c")],
+        optional=[("?x", "knows", "?p")],
+    )
+    out = construct_triples(bind, [
+        ("?p", "lives_in", "?c"),
+        ("?x", "knows_someone_in", "?c"),
+    ])
+    rows = sorted(map(tuple, out.collect()))
+    assert ("alice", "lives_in", "berlin") in rows
+    assert ("carol", "lives_in", "paris") in rows
+    assert ("dave", "knows_someone_in", "berlin") in rows
+    # NULL optional bindings are dropped, not emitted as null triples
+    assert not any(r[0] is None for r in rows)
+    with pytest.raises(ValueError, match="empty template"):
+        construct_triples(bind, [])
+
+
 def test_reorder_preserves_bindings_and_column_order(kg):
     pat = [("?p", "works_at", "?o"), ("?o", "in_city", "?c")]
     plain = match_pattern(kg, pat)
