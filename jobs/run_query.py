@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--triples", required=True, help="triples parquet path")
+    ap.add_argument("--triples", required=True, help="triples table path")
+    ap.add_argument("--format", choices=("parquet", "nt"), default="parquet",
+                    help="triples input format: parquet (the pipeline "
+                         "sink) or nt (an N-Triples export)")
     ap.add_argument("--pattern", default=None,
                     help="BGP: '.'-separated hops of 'subj pred obj' terms; "
                          "terms starting with ? are variables; quote "
@@ -63,12 +66,18 @@ def main(argv: list[str] | None = None) -> None:
         parse_pattern,
         reach_pairs,
     )
+    from nary_relation_extraction_decomposed_spark.sources.ntriples import (
+        read_ntriples,
+    )
 
     spark = build_session(
         app_name="nary-kg-query", shuffle_partitions=args.shuffle_partitions
     )
 
-    triples = spark.read.parquet(args.triples)
+    if args.format == "nt":
+        triples = read_ntriples(spark, args.triples)
+    else:
+        triples = spark.read.parquet(args.triples)
     t0 = time.time()
     if args.pattern:
         out = match_pattern(

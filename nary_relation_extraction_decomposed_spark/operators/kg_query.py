@@ -88,7 +88,9 @@ def _reorder_pattern(
 
     def est(p: tuple[str, str, str]) -> float:
         s, pred, o = p
-        n = float(counts.get(pred, 0))
+        # normalize property-path forms: ^inverse has the same
+        # cardinality; alternation sums its branches
+        n = float(sum(counts.get(q, 0) for q in pred.lstrip("^").split("|")))
         if not _is_var(s):
             n = min(n, 1.0)
         if not _is_var(o):
@@ -220,10 +222,27 @@ def _hop(
 ) -> tuple[DataFrame, list[str]]:
     """One triple pattern -> (frame of its variable columns, var names);
     constants become filters; a fully-constant pattern returns no vars
-    (the caller treats it as an existence guard)."""
+    (the caller treats it as an existence guard).
+
+    Predicate term forms (SPARQL property-path fragments, all still
+    constant — each compiles to a pushable filter, never a join):
+      "p"      exact predicate
+      "^p"     inverse path: match (o, p, s) — subj/obj roles swap
+      "p1|p2"  alternation: pred IN (p1, p2); "^" may prefix the whole
+               alternation ("^p1|p2" inverts every alternative)
+    """
     if _is_var(p):
         raise ValueError(f"predicate must be constant, got {p!r}")
-    hop = triples.filter(F.col("pred") == p)
+    if p.startswith("^"):
+        # (?a ^p ?b) IS (?b p ?a): swap the term roles, nothing else
+        p = p[1:]
+        s, o = o, s
+    if not p:
+        raise ValueError("empty predicate")
+    alts = p.split("|")
+    hop = triples.filter(
+        F.col("pred") == p if len(alts) == 1 else F.col("pred").isin(alts)
+    )
     cols = []
     hop_vars: list[str] = []
     for term, col in ((s, "subj"), (o, "obj")):

@@ -153,6 +153,28 @@ def test_hop_plan_prunes_union_branch(kg, spark):
     assert "Union" not in plan
 
 
+def test_inverse_predicate_path(kg):
+    # (acme ^works_at ?p) == (?p works_at acme): acme's employees,
+    # queried from the org side
+    out = match_pattern(kg, [("acme", "^works_at", "?p")])
+    assert _rows(out) == [("alice",), ("bob",)]
+    # inverse chains compose with forward hops
+    out2 = match_pattern(
+        kg, [("?c", "^in_city", "?o"), ("?p", "works_at", "?o")]
+    )
+    assert ("berlin", "acme", "alice") in _rows(out2)
+
+
+def test_predicate_alternation(kg):
+    out = match_pattern(kg, [("dave", "knows|works_at", "?x")])
+    assert _rows(out) == [("alice",), ("dave",)]
+    # inverse applies to the whole alternation
+    inv = match_pattern(kg, [("alice", "^knows|works_at", "?x")])
+    assert _rows(inv) == [("dave",)]
+    with pytest.raises(ValueError, match="empty predicate"):
+        match_pattern(kg, [("?a", "^", "?b")])
+
+
 def test_optional_left_joins_and_nulls(kg):
     out = match_pattern(
         kg, [("?p", "works_at", "?o")],

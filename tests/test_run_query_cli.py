@@ -65,3 +65,27 @@ def test_run_query_cli_end_to_end(spark, tmp_path):
 
     stdout = run("--reach", "p", "--max-hops", "3", "--from", "a")
     assert "rows=2" in stdout  # a->b (1), a->c (2)
+
+
+def test_run_query_cli_over_ntriples_export(spark, tmp_path):
+    from nary_relation_extraction_decomposed_spark.sources.ntriples import (
+        write_ntriples,
+    )
+
+    nt_path = str(tmp_path / "kg_nt")
+    write_ntriples(
+        spark.createDataFrame(
+            [("a", "p", "b"), ("b", "q", "c d")],  # multi-word entity
+            "subj string, pred string, obj string",
+        ),
+        nt_path,
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "run_query.py"),
+         "--triples", nt_path, "--format", "nt",
+         "--shuffle-partitions", "4",
+         "--pattern", '?x p ?y . ?y q "c d"'],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "rows=1" in out.stdout
