@@ -18,6 +18,7 @@ below is the only thing that would change.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import pyspark.sql.functions as F
@@ -121,15 +122,38 @@ def connected_components(
     deterministic and produce identical labels."""
     spark = edges.sparkSession
 
+    # ONE normalized, lazily-checkpointed edge frame shared by the
+    # preflight probe AND whichever execution path runs. Pre-r6-cont. the
+    # probe was built on the raw input while the distributed paths
+    # checkpointed a separate frame, so an expensive upstream (the
+    # MinHash-LSH pair chain in er_canon / curate_corpus) executed TWICE —
+    # once for the probe job, once for the real path (caught by the
+    # stage-byte ledger: byte-identical duplicate stage pairs).
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
+    )
+
     # Strategy preflight: probe size with a limited COUNT (early-stops the
     # scan at threshold+1 rows, ships one long to the driver) and collect
     # the edge rows only when the small path is actually taken. Collecting
     # the probe directly would materialize up to `driver_threshold` Row
-    # objects on the driver even for a 10^12-edge input.
-    lim = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).limit(
-        driver_threshold + 1
-    )
-    if lim.count() <= driver_threshold:
+    # objects on the driver even for a 10^12-edge input. Partitions the
+    # probe does compute persist into the shared checkpoint, so the real
+    # path completes the remainder instead of starting over. Skipped
+    # entirely when driver_threshold <= 0 (the caller pinned a
+    # distributed path; the probe would be a wasted job).
+    # NARY_CC_PREFLIGHT=legacy restores the pre-fix shape (probe on the
+    # raw frame, never skipped) for same-window A/B runs — the committed
+    # er.py NARY_ER_DISTINCT idiom
+    if os.environ.get("NARY_CC_PREFLIGHT", "") == "legacy":
+        lim = edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v")
+        ).limit(driver_threshold + 1)
+        run_probe = True
+    else:
+        lim = e.limit(driver_threshold + 1)
+        run_probe = driver_threshold > 0
+    if run_probe and lim.count() <= driver_threshold:
         head = lim.collect()
         parent: dict[int, int] = {}
 
@@ -157,16 +181,12 @@ def connected_components(
     if algorithm in ("auto", "star"):
         # large graphs: star contraction, O(log n) rounds on any shape
         # (min-label propagation below needs O(diameter) rounds).
-        # ONE lineage truncation up front: node derivation + every
-        # contraction round re-reference the edge set, and without the
-        # checkpoint each reference would recompute the (possibly very
-        # expensive — e.g. MinHash-LSH) upstream DAG. This recompute was
-        # the round-1 `er_canon` anomaly: higher core counts made the
-        # replayed upstream strictly more expensive.
-        e = (
-            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-            .localCheckpoint(eager=False)
-        )
+        # `e` (shared, checkpointed above) is the one lineage truncation:
+        # node derivation + every contraction round re-reference the edge
+        # set, and without the checkpoint each reference would recompute
+        # the (possibly very expensive — e.g. MinHash-LSH) upstream DAG.
+        # This recompute was the round-1 `er_canon` anomaly: higher core
+        # counts made the replayed upstream strictly more expensive.
         e_clean = (
             e.filter(F.col("u") != F.col("v"))
             .distinct()
@@ -184,11 +204,8 @@ def connected_components(
             .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
         )
 
-    # truncate the upstream lineage ONCE — bidir + the node universe
-    # re-reference the edge set 4x and would otherwise recompute it 4x
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=False
-    )
+    # bidir + the node universe re-reference the edge set 4x; `e` (shared,
+    # checkpointed above) keeps that to one computation
     bidir = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))

@@ -40,27 +40,12 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPL = int(os.environ.get("SPARK_GRAFT_CURATE_REPL", "16"))
 
 
-def run_leg(cores: int) -> None:
+def cluster_corpus(spark, sf: str, repl: int, parts: int):
+    """The fixed-size-cluster corpus (see module docstring), repartitioned
+    to `parts` and persisted; caller counts to materialize."""
     import pyspark.sql.functions as F
 
-    from nary_relation_extraction_decomposed_spark.operators.curate import (
-        curate_corpus,
-    )
-    from nary_relation_extraction_decomposed_spark.session import build_session
-
-    spark = build_session(
-        app_name=f"curate-scale-{cores}",
-        master=f"local[{cores}]",
-        shuffle_partitions=cores,
-        extra_confs={
-            "spark.ui.enabled": "false",
-            "spark.driver.memory": "16g",
-            "spark.driver.extraJavaOptions":
-                f"-XX:ActiveProcessorCount={cores}",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
     member = F.col("c") % 16
@@ -85,7 +70,7 @@ def run_leg(cores: int) -> None:
     )
     docs = (
         d.select(
-            F.explode(F.sequence(F.lit(0), F.lit(REPL - 1))).alias("c"),
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("c"),
             "doc_id", "lang",
         )
         # text FIRST, in its own select: a same-select `doc_id` re-alias
@@ -103,12 +88,34 @@ def run_leg(cores: int) -> None:
             ).alias("text"),
         )
         .select(
-            (F.col("doc_id") * REPL + F.col("c")).alias("doc_id"),
+            (F.col("doc_id") * repl + F.col("c")).alias("doc_id"),
             "text", "lang",
         )
-        .repartition(cores * 2)
+        .repartition(parts)
         .persist()
     )
+    return docs
+
+
+def run_leg(cores: int) -> None:
+    from nary_relation_extraction_decomposed_spark.operators.curate import (
+        curate_corpus,
+    )
+    from nary_relation_extraction_decomposed_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"curate-scale-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+            "spark.driver.extraJavaOptions":
+                f"-XX:ActiveProcessorCount={cores}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = cluster_corpus(spark, SF, REPL, cores * 2)
     n = docs.count()
     t0 = time.monotonic()
     out = curate_corpus(

@@ -77,8 +77,26 @@ def main() -> None:
     global _UI_BASE
     _UI_BASE = spark.sparkContext.uiWebUrl or _UI_BASE
     try:
+        workload = os.environ.get("STAGE_WORKLOAD", "kg")
         t0 = time.time()
-        n_docs, n_triples = bench.bench_kg_pipeline(spark, sf_dir)
+        if workload == "curate":
+            # curation-funnel byte ledger (round-6 fourth session): same
+            # fixed-size-cluster corpus as tools/curate_scaling.py
+            from nary_relation_extraction_decomposed_spark.operators.curate import (
+                curate_corpus,
+            )
+            from tools.curate_scaling import cluster_corpus
+
+            repl = int(os.environ.get("SPARK_GRAFT_CURATE_REPL", "64"))
+            docs_df = cluster_corpus(spark, sf_dir, repl, CPUS * 2)
+            n_docs = docs_df.count()
+            t0 = time.time()  # corpus build/persist is not the workload
+            n_triples = curate_corpus(
+                docs_df, min_quality=0.05, rates={"en": 0.5},
+                default_rate=0.25,
+            )["sampled"].count()
+        else:
+            n_docs, n_triples = bench.bench_kg_pipeline(spark, sf_dir)
         wall = round(time.time() - t0, 2)
 
         app = _get("applications")[0]["id"]
