@@ -129,6 +129,12 @@ def connected_components(
     # MinHash-LSH pair chain in er_canon / curate_corpus) executed TWICE —
     # once for the probe job, once for the real path (caught by the
     # stage-byte ledger: byte-identical duplicate stage pairs).
+    # Checkpoint-block lifetime: on the driver (small-graph) path the
+    # probe leaves `e`'s partitions cached past the return; they are
+    # bounded by driver_threshold rows and reclaimed by Spark's
+    # ContextCleaner once this frame is unreferenced (the driver path
+    # returns a frame built from scratch) — no explicit unpersist API
+    # reaches localCheckpoint storage.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=False
     )

@@ -42,6 +42,40 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _parse_pred(p: str) -> tuple[bool, list[str]]:
+    """Constant predicate term -> (inverse?, alternation values).
+
+    One parser shared by hop compilation AND the reorder estimator, so
+    they can never disagree. A leading '^' marks the inverse path; '|'
+    separates alternation branches; a backslash escapes '^', '|', or
+    '\\' so predicate VALUES containing the path characters stay
+    queryable ("\\^p" = literal '^p', "a\\|b" = literal 'a|b'). Empty
+    predicates and empty alternation branches ("p|", "|p", "p||q")
+    raise instead of silently matching ''."""
+    inverse = p.startswith("^")
+    if inverse:
+        p = p[1:]
+    alts: list[str] = []
+    cur = ""
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == "\\" and i + 1 < len(p) and p[i + 1] in "|^\\":
+            cur += p[i + 1]
+            i += 2
+        elif c == "|":
+            alts.append(cur)
+            cur = ""
+            i += 1
+        else:
+            cur += c
+            i += 1
+    alts.append(cur)
+    if any(a == "" for a in alts):
+        raise ValueError(f"empty predicate (or empty alternation branch) in {p!r}")
+    return inverse, alts
+
+
 def parse_pattern(text: str) -> list[tuple[str, str, str]]:
     """Text form of a BGP: '.'-separated hops of three whitespace-separated
     terms, '?'-prefixed terms are variables. Multi-word constants (the
@@ -88,9 +122,13 @@ def _reorder_pattern(
 
     def est(p: tuple[str, str, str]) -> float:
         s, pred, o = p
-        # normalize property-path forms: ^inverse has the same
+        # same parser as hop compilation: ^inverse has the same
         # cardinality; alternation sums its branches
-        n = float(sum(counts.get(q, 0) for q in pred.lstrip("^").split("|")))
+        try:
+            _, alts = _parse_pred(pred)
+        except ValueError:
+            return 0.0  # malformed: order is irrelevant, _hop will raise
+        n = float(sum(counts.get(q, 0) for q in alts))
         if not _is_var(s):
             n = min(n, 1.0)
         if not _is_var(o):
@@ -230,18 +268,18 @@ def _hop(
       "^p"     inverse path: match (o, p, s) — subj/obj roles swap
       "p1|p2"  alternation: pred IN (p1, p2); "^" may prefix the whole
                alternation ("^p1|p2" inverts every alternative)
+    Predicate VALUES containing the path chars are escapable: "\\^p"
+    matches a literal leading '^', "a\\|b" a literal '|' (see
+    _parse_pred).
     """
     if _is_var(p):
         raise ValueError(f"predicate must be constant, got {p!r}")
-    if p.startswith("^"):
+    inverse, alts = _parse_pred(p)
+    if inverse:
         # (?a ^p ?b) IS (?b p ?a): swap the term roles, nothing else
-        p = p[1:]
         s, o = o, s
-    if not p:
-        raise ValueError("empty predicate")
-    alts = p.split("|")
     hop = triples.filter(
-        F.col("pred") == p if len(alts) == 1 else F.col("pred").isin(alts)
+        F.col("pred") == alts[0] if len(alts) == 1 else F.col("pred").isin(alts)
     )
     cols = []
     hop_vars: list[str] = []

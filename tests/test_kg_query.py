@@ -173,6 +173,28 @@ def test_predicate_alternation(kg):
     assert _rows(inv) == [("dave",)]
     with pytest.raises(ValueError, match="empty predicate"):
         match_pattern(kg, [("?a", "^", "?b")])
+    # empty alternation branches raise instead of silently matching ''
+    for bad in ("knows|", "|knows", "knows||works_at"):
+        with pytest.raises(ValueError, match="empty"):
+            match_pattern(kg, [("?a", bad, "?b")])
+
+
+def test_predicate_path_chars_escapable(spark):
+    """Predicate VALUES containing '^' or '|' stay queryable via
+    backslash escapes — path syntax cannot silently reinterpret them."""
+    t = spark.createDataFrame(
+        [("a", "either|or", "b"), ("c", "^up", "d"), ("e", "either", "f")],
+        "subj string, pred string, obj string",
+    )
+    lit_alt = match_pattern(t, [("?s", "either\\|or", "?o")])
+    assert sorted(map(tuple, lit_alt.collect())) == [("a", "b")]
+    lit_caret = match_pattern(t, [("?s", "\\^up", "?o")])
+    assert sorted(map(tuple, lit_caret.collect())) == [("c", "d")]
+    # unescaped forms keep their path meaning
+    alt = match_pattern(t, [("?s", "either|missing", "?o")])
+    assert sorted(map(tuple, alt.collect())) == [("e", "f")]
+    inv = match_pattern(t, [("?s", "^\\^up", "?o")])  # inverse of literal ^up
+    assert sorted(map(tuple, inv.collect())) == [("d", "c")]
 
 
 def test_optional_left_joins_and_nulls(kg):

@@ -87,16 +87,19 @@ def main() -> None:
             )
             from tools.curate_scaling import cluster_corpus
 
-            repl = int(os.environ.get("SPARK_GRAFT_CURATE_REPL", "64"))
+            from tools.curate_scaling import REPL as CURATE_REPL
+
+            repl = CURATE_REPL  # ONE default shared with the scaling tool
             docs_df = cluster_corpus(spark, sf_dir, repl, CPUS * 2)
             n_docs = docs_df.count()
             t0 = time.time()  # corpus build/persist is not the workload
-            n_triples = curate_corpus(
+            n_out = curate_corpus(
                 docs_df, min_quality=0.05, rates={"en": 0.5},
                 default_rate=0.25,
             )["sampled"].count()
         else:
-            n_docs, n_triples = bench.bench_kg_pipeline(spark, sf_dir)
+            repl = os.environ["SPARK_GRAFT_BENCH_REPL"]
+            n_docs, n_out = bench.bench_kg_pipeline(spark, sf_dir)
         wall = round(time.time() - t0, 2)
 
         app = _get("applications")[0]["id"]
@@ -151,13 +154,20 @@ def main() -> None:
                       "spill_mem_mb", "spill_disk_mb", "exec_run_sec")
         }
         report = {
+            "workload": workload,
             "cpus": CPUS,
             "sf_dir": sf_dir,
-            "repl": os.environ["SPARK_GRAFT_BENCH_REPL"],
-            "dedup_mode": os.environ.get("SPARK_GRAFT_KG_DEDUP", "latest"),
-            "kinds": os.environ.get("SPARK_GRAFT_KG_KINDS", "(default)"),
+            # the corpus parameter of THIS workload (curate: cluster
+            # replication shared with tools/curate_scaling.py; kg: the
+            # bench replication) — pre-fix the curate ledger misrecorded
+            # the kg default here
+            "repl": repl,
+            **({"dedup_mode": os.environ.get("SPARK_GRAFT_KG_DEDUP", "latest"),
+                "kinds": os.environ.get("SPARK_GRAFT_KG_KINDS", "(default)")}
+               if workload != "curate" else {}),
             "n_docs": n_docs,
-            "n_triples": n_triples,
+            # kg: triples emitted; curate: sampled docs kept
+            ("n_kept" if workload == "curate" else "n_triples"): n_out,
             "wall_sec": wall,
             "docs_per_sec": round(n_docs / wall, 1),
             "jvm_totals": totals,
