@@ -43,20 +43,57 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
     PRECONDITION: `edges` is already (u, v), self-loop-free, distinct, and
     lineage-truncated (localCheckpoint) by the caller — every iteration and
     the caller's node derivation re-reference it, and an unmaterialized
-    upstream DAG would be recomputed once per reference."""
+    upstream DAG would be recomputed once per reference.
+
+    r7 round-shape notes (A/B-measured at local[32] on the bench ER graph,
+    60k nodes of alias 3-cliques — BENCH/samples/round_7_ab_cc_star.json):
+    - The pre-r7 `directed = greatest/least + distinct` re-orientation was
+      an IDENTITY: every ls row (u', v') = (old v, m) already has u' > v',
+      because m = min(G(u) ∪ {u}) <= u < v under the large-star v > u
+      filter (and for the same reason ls carries no self-loops, so its
+      u != v filter was dead too). Both dropped — one fewer
+      exchange+aggregate per round, bit-identical e_next.
+    - Convergence is detected STRUCTURALLY instead of by comparing
+      consecutive edge-set signatures: the algorithm's fixed point is
+      exactly a min-rooted star forest (Kiveris et al.), i.e. every child
+      has ONE parent, no parent is itself a child, and u > v on every edge
+      (the last holds by construction here). _is_star_forest checks that
+      with one tiny aggregation job on the freshly materialized e_next —
+      the signature scheme needed one further FULL contraction round purely
+      to confirm stability (sig(round k+1) == sig(round k)), which on a
+      fast-converging ER graph doubled the round count. A star forest is
+      stable under both contractions (large-star maps every (child, root)
+      to (child, min(G(root) ∪ {root})) = (child, root); small-star
+      re-emits the same stars), so breaking here returns the identical
+      edge set the signature loop returned one round later.
+    - An explicit repartition(n, u)-per-frame variant (3 exchanges/round
+      instead of ~7) was ALSO tried and is 2x SLOWER here: with AQE every
+      one of these tiny exchanges coalesces to ~1 task and the joins
+      demote to broadcast, so wall time is stage-count x scheduler
+      latency, which the fixed-width repartitions inflate. Kept the
+      AQE-friendly shape; at true scale the exchanges carry real bytes and
+      AQE sizes them — the round count, not the per-round plan, is the
+      scale lever (O(log n))."""
     e = edges
 
-    def signature(df: DataFrame) -> tuple[int, int]:
-        # order-independent set signature: count + XOR of row hashes
-        # (bit_xor cannot overflow under ANSI mode, unlike sum)
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+    def _is_star_forest(df: DataFrame) -> bool:
+        # one aggregation: per node, how many edges it is a child (u) of
+        # and how many it touches; bad node = two parents, or both roles
+        bad = (
+            df.select(F.col("u").alias("node"), F.lit(1).alias("c"))
+            .union(df.select(F.col("v").alias("node"), F.lit(0).alias("c")))
+            .groupBy("node")
+            .agg(F.sum("c").alias("nc"), F.count("*").alias("tot"))
+            .filter(
+                (F.col("nc") >= 2)
+                | ((F.col("nc") >= 1) & (F.col("tot") > F.col("nc")))
+            )
+            .limit(1)
+            .count()
+        )
+        return bad == 0
 
     converged = False
-    sig = signature(e)
     for _ in range(max_iter):
         # ---- large star
         bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -66,16 +103,12 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
             bidir.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        # ---- small star
-        directed = ls.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).distinct()
-        mins2 = directed.groupBy("u").agg(F.min("v").alias("m"))
+        # ---- small star (ls is already min-oriented u > v, see docstring)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
         ss_nbrs = (
-            directed.join(mins2, "u")
+            ls.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
         ss_self = mins2.select(F.col("u"), F.col("m").alias("v"))
@@ -85,12 +118,10 @@ def _star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=False)
         )
-        new_sig = signature(e_next)
         e = e_next
-        if new_sig == sig:
+        if _is_star_forest(e_next):
             converged = True
             break
-        sig = new_sig
     if not converged:
         warnings.warn(
             f"star contraction did not converge within max_iter={max_iter} "

@@ -142,24 +142,50 @@ def canonical_map(
     distributed star-contraction path, e.g. for scaling benchmarks).
     """
     sigs = minhash_signatures(surfaces, col).localCheckpoint(eager=True)
-    pairs = verify_pairs(lsh_candidate_pairs(sigs, col), sigs, col)
 
-    ids = sigs.select(F.col(col), F.xxhash64(F.col(col)).alias("node"))
-    edges = (
-        pairs.join(ids.withColumnRenamed(col, "a").withColumnRenamed("node", "src"), "a")
-        .join(ids.withColumnRenamed(col, "b").withColumnRenamed("node", "dst"), "b")
-        .select("src", "dst")
+    # Verify + node-id attachment FUSED into the candidate->signature joins
+    # (r7): the staged chain joined `pairs` back to sigs twice for shingles
+    # (verify_pairs) and then twice more to the id table for node ids —
+    # four shuffle joins over the same candidate rows. Carrying the
+    # xxhash64 node id alongside the shingles makes it two joins total;
+    # the surviving (src, dst) set is identical (same jaccard filter, and
+    # node = xxhash64(surface) is a pure projection of the joined row).
+    sh = sigs.select(
+        F.col(col), F.col("shingles"), F.xxhash64(F.col(col)).alias("node")
     )
+    cand = lsh_candidate_pairs(sigs, col)
+    pa = cand.join(
+        sh.withColumnRenamed(col, "a")
+        .withColumnRenamed("shingles", "sh_a")
+        .withColumnRenamed("node", "src"),
+        "a",
+    )
+    pab = pa.join(
+        sh.withColumnRenamed(col, "b")
+        .withColumnRenamed("shingles", "sh_b")
+        .withColumnRenamed("node", "dst"),
+        "b",
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    edges = pab.filter(jac >= F.lit(JACCARD_THRESHOLD)).select("src", "dst")
     comps = connected_components(
         edges, driver_threshold=cc_driver_threshold, algorithm=cc_algorithm
     )
 
-    # labeled feeds BOTH the canonical pick and the final join — truncate
-    # its lineage so the pairs->edges->CC chain is computed once, not twice
-    labeled = (
-        ids.join(comps, ids["node"] == comps["node"], "left")
-        .select(F.col(col), F.coalesce("comp", ids["node"]).alias("comp"))
-        .localCheckpoint(eager=False)
+    ids = sigs.select(F.col(col), F.xxhash64(F.col(col)).alias("node"))
+    labeled = ids.join(comps, ids["node"] == comps["node"], "left").select(
+        F.col(col), F.coalesce("comp", ids["node"]).alias("comp")
     )
-    canon = labeled.groupBy("comp").agg(F.min(col).alias("canonical"))
-    return labeled.join(canon, "comp").select(col, "canonical")
+    # canonical pick as a window min over comp: ONE exchange + sort instead
+    # of the groupBy+rejoin shape (exchange for the aggregate, second
+    # exchange of `labeled` for the join) — and `labeled` is consumed once,
+    # so its lineage checkpoint is no longer needed. Identical rows: min()
+    # over the comp partition attached to every member.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("comp")
+    return labeled.select(
+        F.col(col), F.min(col).over(w).alias("canonical")
+    )
