@@ -109,10 +109,32 @@ def detect_mentions_in_text(text: str, gaz: GazetteerIndex) -> list[dict]:
     within the sentence ([tok_begin, tok_end) span) — the token-window
     proximity edges in bfs_evidence are computed from these.
     """
+    first = gaz.first_tok
+    if not first:
+        return []  # empty dictionary: the scan loop below would match nothing
+    # C-speed prefilter (r7): a mention REQUIRES its first token to occur as
+    # a complete token somewhere in the document, so a single findall over
+    # the lowered text + one set-disjointness check skips the per-line
+    # Python scan loop entirely for entity-free documents — the majority of
+    # real web text. Token-set equivalence with the per-line tokenization
+    # holds because str.lower() is a per-character mapping ('\n' maps to
+    # itself), so tokens never change or span line boundaries.
+    if first.keys().isdisjoint(_TOKEN_RUN_RE.findall(text.lower())):
+        return []
     out: list[dict] = []
     offset = 0
     for sent_id, line in enumerate(split_sentences(text)):
-        toks = tokenize_with_offsets(line)
+        low = line.lower()
+        # per-line prefilter: findall (no match objects) + set check before
+        # paying for offset tuples — most lines of an entity-BEARING doc
+        # still contain no dictionary token
+        if first.keys().isdisjoint(_TOKEN_RUN_RE.findall(low)):
+            offset += len(line) + 1
+            continue
+        toks = [
+            (m.group(), m.start(), m.end())
+            for m in _TOKEN_RUN_RE.finditer(low)
+        ]
         i = 0
         n = len(toks)
         while i < n:
@@ -158,8 +180,11 @@ def sentence_predicates(text: str, pred_vocab: frozenset[str]) -> list[dict]:
     the evidence predicate per PIVOT MENTION rather than per sentence."""
     rows = []
     for sent_id, line in enumerate(split_sentences(text)):
-        toks = tokenize_with_offsets(line)
-        preds = [(i, t[0]) for i, t in enumerate(toks) if t[0] in pred_vocab]
+        # findall, not tokenize_with_offsets: this consumer never reads the
+        # char offsets, and findall skips the per-token match objects and
+        # .start()/.end() calls (same regex, same token strings)
+        toks = _TOKEN_RUN_RE.findall(line.lower())
+        preds = [(i, t) for i, t in enumerate(toks) if t in pred_vocab]
         rows.append(
             {
                 "sent_id": sent_id,

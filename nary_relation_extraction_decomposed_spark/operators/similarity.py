@@ -276,18 +276,21 @@ def ann_topk_lsh(
         .join(q.withColumnRenamed("id", "q_id"), ["tbl", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id")
-        .dropDuplicates(["q_id", "n_id"])  # union over tables, ids only
-        # 16 bytes/row, so AQE coalesces the dedup output to a handful of
-        # partitions — but the NEXT stage evaluates the interpreted-HOF
-        # cosine over every candidate, the entry's densest compute. The
-        # explicit repartition costs one tiny id-only exchange, runs the
-        # rerank at full width, and clusters by q_id so the top-k window
-        # below reuses the partitioning instead of re-shuffling the scored
-        # rows (measured 2.7 -> 1.5 s warm on the sf0.1 self-query rerank;
-        # whole entry 5.8 -> 3.9 s with the hyperplane_buckets fix).
+        # ONE id-only exchange serves the whole tail (r7): the explicit
+        # repartition comes FIRST, then the table-union dedup — hash
+        # partitioning on q_id satisfies the clustering requirement of
+        # dropDuplicates([q_id, n_id]) (subset rule), so the dedup adds no
+        # exchange of its own, and the top-k window below reuses the same
+        # q_id clustering. The pre-r7 order (dedup, then repartition) paid
+        # two exchanges of the candidate set back to back. The repartition
+        # also pins full width for the rerank: AQE would coalesce these
+        # 16-byte rows to a handful of partitions and the interpreted-HOF
+        # cosine — the entry's densest compute — would run on a few cores
+        # (measured 2.7 -> 1.5 s warm on the sf0.1 self-query rerank).
         .repartition(
             corpus.sparkSession.sparkContext.defaultParallelism, F.col("q_id")
         )
+        .dropDuplicates(["q_id", "n_id"])  # union over tables, ids only
     )
     qv = queries.select(
         F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
@@ -391,8 +394,17 @@ def _assign_nearest(
     An under-partitioned vecs side (small single-split parquet) would run
     the nlist interpreted cosines per vector on one core; the explicit
     repartition (AQE-coalesce-exempt) spreads it AND clusters by id so the
-    rank window below re-uses the partitioning — broadcast joins preserve
-    the left side's distribution, so no second exchange appears."""
+    rank/argmax below re-uses the partitioning — broadcast joins preserve
+    the left side's distribution, so no second exchange appears.
+
+    n_probe=1 (every Lloyd round + the final list assignment) is an argmax,
+    not a top-k: max(struct(sim, -cid, vec)) per id picks the same row as
+    rank-1 of the window — struct ordering compares sim first (desc via
+    max), then -cid (ties -> smaller cid), and vec never decides (it is
+    functionally dependent on id) — while replacing the window's
+    per-partition SORT of all nlist scored rows per vector with a partial
+    hash aggregate (r7; the sort was ~nlist x log(nlist) per vector and
+    the aggregate keeps one running row per id)."""
     v = _widen_if_narrow(vecs, "id").withColumn("_vn", norm_col(F.col("vec")))
     cent = broadcast(centroids.withColumn("_cn", norm_col(F.col("c_vec"))))
     scored = v.crossJoin(cent).select(
@@ -404,6 +416,19 @@ def _assign_nearest(
             9,
         ).alias("sim"),
     )
+    if n_probe == 1:
+        best = scored.groupBy("id").agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cid")).alias("_nc"),
+                    F.col("vec").alias("_v"),
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            "id", F.col("_b._v").alias("vec"), (-F.col("_b._nc")).alias("cid")
+        )
     w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cid"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
@@ -460,6 +485,15 @@ def ann_topk_ivf(
                 ),
                 6,
             ).alias("cosine"),
+        )
+        # ONE exchange for dedup + top-k window (r7): cluster by q_id
+        # first; HashPartitioning(q_id) satisfies dropDuplicates' clustered
+        # distribution on (q_id, n_id) (subset rule) and the window's
+        # partitionBy(q_id), so neither inserts its own exchange — the
+        # pre-r7 shape exchanged the scored candidates twice
+        # ((q_id, n_id) for the dedup, then q_id for the window)
+        .repartition(
+            queries.sparkSession.sparkContext.defaultParallelism, F.col("q_id")
         )
         .dropDuplicates(["q_id", "n_id"])
     )

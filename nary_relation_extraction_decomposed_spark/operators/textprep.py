@@ -75,19 +75,36 @@ def dedup_latest_text(docs: DataFrame, num_partitions: int | None = None) -> Dat
     running it first means the url shuffle moves extracted TEXT rather than
     raw html (5-20x smaller on real web pages) at the cost of extracting
     the ~ few % duplicate crawls too. Tie-break: warc_ts desc, then longer
-    text, then lexicographically larger text — deterministic."""
+    text, then lexicographically larger text — deterministic.
+
+    Physical shape (r7): max(struct(warc_ts, length(text), text)) per url
+    instead of the row_number window. Struct ordering is field-wise with
+    null fields smallest, which matches desc/desc_nulls_last exactly, and
+    a full tie on all three fields means the texts are equal — so the
+    surviving row is IDENTICAL (pinned by an A/B exceptAll on the bench
+    corpus). Two wins over the window: no per-partition sort, and partial
+    (map-side) aggregation collapses a url's duplicate crawls BEFORE the
+    exchange — the window shape ships every replica's full text through
+    the shuffle (guide: aggregate before you shuffle)."""
     if num_partitions:
         docs = docs.repartition(num_partitions, "url")
-    w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(),
-        F.length(F.col("text")).desc_nulls_last(),
-        F.col("text").desc_nulls_last(),
+    # any non-key payload columns ride in the struct AFTER the three
+    # ordering fields: they only influence the pick on a full ordering tie
+    # (equal texts), where the window's pick was sort-stability-dependent —
+    # the struct max is deterministic there too
+    extra = [c for c in docs.columns if c not in ("url", "warc_ts", "text")]
+    best = F.max(
+        F.struct(
+            F.col("warc_ts"),
+            F.length(F.col("text")).alias("_len"),
+            F.col("text"),
+            *[F.col(c) for c in extra],
+        )
+    ).alias("_b")
+    out = docs.groupBy("url").agg(best).select(
+        "url", "_b.warc_ts", "_b.text", *[f"_b.{c}" for c in extra]
     )
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return out.select(*docs.columns)
 
 
 def urls_are_unique(docs: DataFrame) -> bool:
@@ -114,7 +131,40 @@ def resolve_text(pages: DataFrame, metrics: dict | None = None) -> DataFrame:
     mapInPandas (Arrow batches) — the extraction kernel is the byte-identity
     invariant holder, so it must be the in-repo frozen Python; batches keep
     the JVM<->Python crossing amortized and html never leaves this stage.
+
+    r7 fast path (metrics off): rows that already CARRY text never cross
+    the Python boundary at all — they are a pure JVM projection unioned
+    with the extractor branch, which sees only the text-null rows and only
+    the (url, warc_ts, html) columns. A provided-text corpus thus pays
+    zero Arrow serialization of html/text; an all-html corpus is unchanged
+    (and when `text` is a literal NULL, Catalyst folds the provided-text
+    branch away entirely, so no second scan survives). Row ORDER across
+    the union differs from the single-pass shape but every consumer
+    (latest-per-url dedup window, groupBys, the oracle's order-insensitive
+    compare) is order-independent. The metrics path keeps the single-pass
+    shape: its accumulators count provided vs extracted rows in-UDF.
     """
+    if metrics is None:
+        with_text = pages.filter(F.col("text").isNotNull()).select(
+            "url", "warc_ts", "text"
+        )
+        need = pages.filter(F.col("text").isNull()).select(
+            "url", "warc_ts", "html"
+        )
+
+        def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "url": pdf["url"],
+                        "warc_ts": pdf["warc_ts"],
+                        "text": [extract_text(h) for h in pdf["html"]],
+                    }
+                )
+
+        return with_text.unionByName(
+            need.mapInPandas(extract_batches, schema=RESOLVED_SCHEMA)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
