@@ -13,10 +13,18 @@
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
+
+# topmost Exchange line of a physical-plan string, e.g.
+# "Exchange hashpartitioning(id#5L, 64), REPARTITION_BY_COL, [plan_id=7]"
+_RE_TOP_EXCHANGE = re.compile(
+    r"Exchange hashpartitioning\((.+?), (\d+)\)([^\n]*)"
+)
 
 
 def _widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
@@ -30,15 +38,28 @@ def _widen_if_narrow(df: DataFrame, key_col: str) -> DataFrame:
     r6 cont.). So: probe the width only when the initial physical plan is
     exchange-free (scans / narrow chains / localCheckpoints — the
     motivating under-partitioned cases, where .rdd is split arithmetic);
-    for exchange-bearing chains skip the probe and repartition
-    unconditionally — the explicit exchange is AQE-coalesce-exempt (kills
-    the small-shuffle starvation pattern) and clusters by `key_col`, which
-    every caller's downstream groupBy/window reuses, and it is strictly
-    cheaper than the probe's full double execution."""
+    for exchange-bearing chains repartition — the explicit exchange is
+    AQE-coalesce-exempt (kills the small-shuffle starvation pattern) and
+    clusters by `key_col`, which every caller's downstream groupBy/window
+    reuses, and it is strictly cheaper than the probe's full double
+    execution — UNLESS the plan's topmost exchange is already an explicit
+    repartition by exactly `key_col` at >= defaultParallelism (ADVICE r6:
+    an input that just explicitly shuffled wide on the same key was paying
+    a second full exchange here, and possibly a width DOWNSHIFT). Only
+    explicit-repartition (REPARTITION_BY_NUM/_COL) exchanges qualify: they are
+    AQE-exempt, so the printed width is the runtime width — a groupBy/join
+    exchange's printed width is pre-coalesce fiction."""
     nparts = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().sparkPlan().toString()
-    if "Exchange" not in plan and df.rdd.getNumPartitions() >= nparts:
-        return df
+    if "Exchange" not in plan:
+        if df.rdd.getNumPartitions() >= nparts:
+            return df
+        return df.repartition(nparts, F.col(key_col))
+    m = _RE_TOP_EXCHANGE.search(plan)
+    if m and "REPARTITION_BY_" in m.group(0):  # BY_NUM / BY_COL, both AQE-exempt
+        cols = [c.strip().split("#")[0] for c in m.group(1).split(",")]
+        if cols == [key_col] and int(m.group(2)) >= nparts:
+            return df
     return df.repartition(nparts, F.col(key_col))
 
 

@@ -305,27 +305,45 @@ def kg_pattern(spark, sf_dir):
     match_pattern over the engine's triple shape — heterogeneous edges
     supplier -supplies-> part -ships_in-> order derived from lineitem —
     then bindings aggregated to per-supplier reach (distinct orders
-    reachable in 2 hops) and distinct-path count. Each hop's pred filter
-    prunes the union branch at plan time, so each hop scans only its own
-    edge set; the exchanges are the per-branch triple dedups, the binding
-    dedup, and the two-phase countDistinct agg — the hop join itself
-    broadcasts at this scale (see BENCH/PLANS.md § kg_pattern)."""
+    reachable in 2 hops) and distinct-path count.
+
+    r7 physical restructure, result-identical (oracle re-proved at
+    sf0.001/0.01/0.1):
+    - each edge set dedups on its INTEGER key pair BEFORE the string
+      concat — distinct(concat(keys)) == concat(distinct(keys)) because
+      the 'S'/'P'/'O'-prefixed concat is injective per branch, so the
+      exchange carries 16 bytes/row instead of ~40-byte strings and the
+      hash aggregate compares longs; the branch union is distinct by
+      construction (the two preds differ), exactly the rows the old
+      union+distinct produced.
+    - match_pattern runs with distinct=False: both hop frames are
+      duplicate-free (distinct edge sets with a constant pred), and an
+      inner equi-join of duplicate-free sides yields duplicate-free
+      bindings, so the BGP set-semantics dedup was a no-op that
+      exchanged all ~18M binding rows once more (measured ~1s of the
+      entry at sf0.1). n_paths is unchanged for the same reason — there
+      were no duplicate bindings to collapse.
+    The exchanges left are the two per-branch integer dedups and the
+    two-phase countDistinct agg; the hop join itself broadcasts at this
+    scale (see BENCH/PLANS.md § kg_pattern)."""
     from ..operators.kg_query import match_pattern
 
     li = _t(spark, sf_dir, "lineitem")
-    e1 = li.select(
+    e1 = li.select("l_suppkey", "l_partkey").distinct().select(
         F.concat(F.lit("S"), F.col("l_suppkey")).alias("subj"),
         F.lit("supplies").alias("pred"),
         F.concat(F.lit("P"), F.col("l_partkey")).alias("obj"),
     )
-    e2 = li.select(
+    e2 = li.select("l_partkey", "l_orderkey").distinct().select(
         F.concat(F.lit("P"), F.col("l_partkey")).alias("subj"),
         F.lit("ships_in").alias("pred"),
         F.concat(F.lit("O"), F.col("l_orderkey")).alias("obj"),
     )
-    triples = e1.unionByName(e2).distinct()
+    triples = e1.unionByName(e2)
     bind = match_pattern(
-        triples, [("?s", "supplies", "?p"), ("?p", "ships_in", "?o")]
+        triples,
+        [("?s", "supplies", "?p"), ("?p", "ships_in", "?o")],
+        distinct=False,
     )
     return bind.groupBy(F.col("s").alias("supplier")).agg(
         F.countDistinct("o").alias("reach"),

@@ -13,8 +13,14 @@ extract + url_decode. No UDFs, no shuffle; partition count carries
 through, so a 100 TB export parallelizes exactly like the source table.
 
 Entity ids here are normalized surface forms (spaces and arbitrary
-chars); they are percent-encoded into the IRI local part (url_encode /
-url_decode are exact inverses), so round-tripping is byte-identical —
+chars); they are PERCENT-encoded into the IRI local part: url_encode
+(application/x-www-form-urlencoded, space -> '+') followed by a
+'+' -> '%20' rewrite, which yields RFC 3987-style percent-encoding —
+a literal '+' is already '%2B' at that point, so every remaining '+' is
+an encoded space (ADVICE r6: external consumers such as Jena/rdflib
+percent-decode IRIs, so the bare-'+' convention exported 'acme corp' as
+<...acme+corp>). url_decode already maps %20 -> space and %2B -> '+',
+so the read side is unchanged and round-tripping stays byte-identical —
 pytest-pinned including spaces, unicode, and '+'.
 """
 
@@ -34,7 +40,12 @@ def write_ntriples(
 ) -> None:
     """(subj, pred, obj[, ...]) -> N-Triples text files at `path`."""
     def iri(col: str) -> F.Column:
-        return F.concat(F.lit("<" + base_uri), F.url_encode(col), F.lit(">"))
+        # '+' -> '%20': see module docstring (RFC-style percent-encoding)
+        return F.concat(
+            F.lit("<" + base_uri),
+            F.regexp_replace(F.url_encode(col), r"\+", "%20"),
+            F.lit(">"),
+        )
 
     lines = triples.select(
         F.concat_ws(" ", iri("subj"), iri("pred"), iri("obj"), F.lit(".")).alias(

@@ -54,6 +54,18 @@ def test_funnel_semantics(corpus):
     assert _ids(stages["sampled"]) == [1, 6, 7]
 
 
+def test_neardup_verification_threshold(corpus):
+    # a threshold above 1.0 can never be met, so every LSH candidate pair
+    # is rejected at verification and the near-dup stage drops nothing
+    stages = curate_corpus(corpus, min_quality=0.05, verify_threshold=1.01)
+    assert _ids(stages["neardup"]) == _ids(stages["exact"])
+    # None restores the pre-verification behavior: every band collision
+    # enters the clustering (ADVICE r6 false-positive exposure, kept as an
+    # explicit opt-out)
+    legacy = curate_corpus(corpus, min_quality=0.05, verify_threshold=None)
+    assert _ids(legacy["neardup"]) == [1, 6, 7]
+
+
 def test_deterministic_and_nested(corpus):
     a = _ids(curate_corpus(corpus, min_quality=0.05)["sampled"])
     b = _ids(curate_corpus(corpus, min_quality=0.05)["sampled"])

@@ -30,6 +30,18 @@ def test_round_trip_byte_identical(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(ROWS)
 
 
+def test_iris_are_percent_encoded(spark, tmp_path):
+    """ADVICE r6: spaces must export as %20 (RFC-style), never as a bare
+    '+' (form-encoding), or external percent-decoders read 'acme+corp';
+    a literal '+' must stay distinguishable as %2B."""
+    path, _ = _rt(spark, tmp_path, ROWS)
+    lines = sorted(r.value for r in spark.read.text(path).collect())
+    joined = "\n".join(lines)
+    assert "<http://kg.local/acme%20corp>" in joined
+    assert "<http://kg.local/a%2Bb>" in joined
+    assert "+" not in joined  # no form-encoded space survives anywhere
+
+
 def test_lines_are_wellformed_ntriples(spark, tmp_path):
     path, _ = _rt(spark, tmp_path, ROWS)
     lines = [r.value for r in spark.read.text(path).collect()]
