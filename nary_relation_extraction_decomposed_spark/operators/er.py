@@ -175,17 +175,18 @@ def canonical_map(
     )
 
     ids = sigs.select(F.col(col), F.xxhash64(F.col(col)).alias("node"))
-    labeled = ids.join(comps, ids["node"] == comps["node"], "left").select(
-        F.col(col), F.coalesce("comp", ids["node"]).alias("comp")
+    # labeled feeds BOTH the canonical pick and the final join — truncate
+    # its lineage so the pairs->edges->CC chain is computed once, not twice.
+    # NOTE a window-min formulation (min(col) over partition by comp) was
+    # tried here in r7 — one exchange instead of two — and REVERTED: a
+    # Window operator is row-count-preserving, so a count() sink (the
+    # frozen bench) prunes it entirely and the entry would silently skip
+    # computing canonical labels; the inner groupBy+join is not prunable,
+    # keeping the measured entry honest for any consumer.
+    labeled = (
+        ids.join(comps, ids["node"] == comps["node"], "left")
+        .select(F.col(col), F.coalesce("comp", ids["node"]).alias("comp"))
+        .localCheckpoint(eager=False)
     )
-    # canonical pick as a window min over comp: ONE exchange + sort instead
-    # of the groupBy+rejoin shape (exchange for the aggregate, second
-    # exchange of `labeled` for the join) — and `labeled` is consumed once,
-    # so its lineage checkpoint is no longer needed. Identical rows: min()
-    # over the comp partition attached to every member.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("comp")
-    return labeled.select(
-        F.col(col), F.min(col).over(w).alias("canonical")
-    )
+    canon = labeled.groupBy("comp").agg(F.min(col).alias("canonical"))
+    return labeled.join(canon, "comp").select(col, "canonical")
