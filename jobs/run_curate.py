@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--stratum-col", default="lang")
     ap.add_argument("--salt", default="curate")
+    ap.add_argument("--verify-threshold", type=float, default=0.5,
+                    help="min estimated jaccard (fraction of agreeing "
+                         "minhashes) for an LSH candidate pair to enter "
+                         "near-dup clustering; negative disables "
+                         "verification (pre-r7 behavior)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -66,6 +71,9 @@ def main(argv: list[str] | None = None) -> None:
         rates=dict(args.rate),
         default_rate=args.default_rate,
         salt=args.salt,
+        verify_threshold=(
+            None if args.verify_threshold < 0 else args.verify_threshold
+        ),
     )
     stages["sampled"].write.mode("overwrite").parquet(args.output)
     funnel = {"input": docs.count()}
